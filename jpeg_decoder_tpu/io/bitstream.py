@@ -1,0 +1,170 @@
+"""Byte-stream scanning and bit extraction, vectorized.
+
+The reference walks the stream a byte at a time (`next_byte`
+`/root/reference/src/bitstream.c:8-14`) and discovers restart/EOI markers via
+a serial 3-byte lookahead per MCU (`check_marker` bitstream.c:84-134). That is
+exactly the serial dependence a parallel design must not have, so here the
+byte domain is preprocessed with NumPy array scans:
+
+  * `entropy_span_end`   — find where a scan's entropy-coded bytes end;
+  * `find_restart_markers` — gather all RSTn offsets up front (the
+    segment-parallel seam, SURVEY.md §2);
+  * `unstuff`            — remove 0x00 bytes following 0xFF (byte unstuffing,
+    reference `next_byte_for_bits` bitstream.c:22-59) in one vector pass.
+
+Bit-level access for host decoders uses the unstuffed buffer with MSB-first
+indexing, matching `next_bit` (bitstream.c:61-67).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.errors import JpegFormatError, JpegTruncatedError
+
+
+def as_byte_array(data: bytes | bytearray | memoryview | np.ndarray) -> np.ndarray:
+    """Zero-copy view of the input as a uint8 array."""
+    if isinstance(data, np.ndarray):
+        if data.dtype != np.uint8:
+            raise JpegFormatError(f"expected uint8 buffer, got {data.dtype}")
+        return data
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def read_u16be(data: np.ndarray, off: int) -> int:
+    """Big-endian uint16 at `off` with bounds checking (the reference reads
+    with no bounds checks anywhere, bitstream.c:10)."""
+    if off + 2 > data.shape[0]:
+        raise JpegTruncatedError("u16 read past end of stream", offset=off)
+    return (int(data[off]) << 8) | int(data[off + 1])
+
+
+def entropy_span_end(data: np.ndarray, start: int) -> int:
+    """Offset one past the last entropy byte of a scan starting at `start`.
+
+    Entropy data is terminated by the first 0xFF that is followed by anything
+    other than 0x00 (stuffing) or 0xD0-0xD7 (restart markers, which belong to
+    the scan). A trailing 0xFF at end-of-buffer also terminates.
+    """
+    n = data.shape[0]
+    if start >= n:
+        raise JpegTruncatedError("scan starts past end of stream", offset=start)
+    ff = np.flatnonzero(data[start:] == 0xFF)
+    if ff.size == 0:
+        return n  # unterminated entropy data; tolerate (reference would run off)
+    nxt = data[start:][np.minimum(ff + 1, n - start - 1)]
+    is_terminator = ~((nxt == 0x00) | ((nxt >= 0xD0) & (nxt <= 0xD7)))
+    # A 0xFF as the very last byte has no successor: treat as terminator.
+    is_terminator |= (ff + 1) >= (n - start)
+    hits = np.flatnonzero(is_terminator)
+    if hits.size == 0:
+        return n
+    return start + int(ff[hits[0]])
+
+
+def find_restart_markers(data: np.ndarray, start: int, end: int) -> np.ndarray:
+    """All offsets of RSTn markers (position of the 0xFF) in [start, end).
+
+    The reference discovers these serially one MCU at a time
+    (bitstream.c:142-176); this single vector pass is the prescan that makes
+    segment-parallel entropy decode possible.
+    """
+    seg = data[start:end]
+    if seg.shape[0] < 2:
+        return np.empty(0, dtype=np.int64)
+    ff = (seg[:-1] == 0xFF) & (seg[1:] >= 0xD0) & (seg[1:] <= 0xD7)
+    return np.flatnonzero(ff).astype(np.int64) + start
+
+
+def unstuff(data: np.ndarray, start: int, end: int) -> tuple[np.ndarray, np.ndarray]:
+    """Remove stuffed 0x00 bytes after 0xFF within [start, end).
+
+    Returns (unstuffed_bytes, original_offsets) where original_offsets[i] is
+    the offset in `data` the i-th unstuffed byte came from (needed to map
+    decode errors back to stream positions).
+    """
+    seg = data[start:end]
+    if seg.shape[0] == 0:
+        return seg.copy(), np.empty(0, dtype=np.int64)
+    # A byte is dropped iff it is 0x00 and the previous byte is 0xFF.
+    prev_ff = np.empty(seg.shape[0], dtype=bool)
+    prev_ff[0] = False
+    np.equal(seg[:-1], 0xFF, out=prev_ff[1:])
+    drop = prev_ff & (seg == 0x00)
+    keep = ~drop
+    offsets = np.flatnonzero(keep).astype(np.int64) + start
+    return seg[keep], offsets
+
+
+def bits_of(data: np.ndarray) -> np.ndarray:
+    """Unpack bytes to MSB-first bits (uint8 0/1) — the bit order of
+    `next_bit` (bitstream.c:62: bit = byte >> (7 - offset) & 1)."""
+    return np.unpackbits(data)
+
+
+class BitReader:
+    """MSB-first bit reader over an unstuffed byte buffer.
+
+    Mirrors the observable behavior of the reference Bitstream bit API
+    (`next_bit` bitstream.c:61-67, `next_bit_size` bitstream.c:69-78) but with
+    bounds checking and O(1) multi-bit reads off a prefix-unpacked bit array.
+    """
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, unstuffed: np.ndarray):
+        self.bits = np.unpackbits(unstuffed).astype(np.int64)
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= self.bits.shape[0]:
+            raise JpegTruncatedError("bit read past end of entropy data")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        """MSB-first n-bit read (reference next_bit_size)."""
+        if n == 0:
+            return 0
+        if self.pos + n > self.bits.shape[0]:
+            raise JpegTruncatedError("bit read past end of entropy data")
+        chunk = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        val = 0
+        for b in chunk:
+            val = (val << 1) | int(b)
+        return val
+
+    def peek16(self) -> int:
+        """Next 16 bits, left-aligned, zero-padded past the end (for LUT
+        decode). Does not advance."""
+        end = min(self.pos + 16, self.bits.shape[0])
+        chunk = self.bits[self.pos : end]
+        val = 0
+        for b in chunk:
+            val = (val << 1) | int(b)
+        return val << (16 - (end - self.pos))
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    @property
+    def exhausted(self) -> bool:
+        return self.pos >= self.bits.shape[0]
+
+
+def receive_extend(value: int, size: int) -> int:
+    """JPEG RECEIVE/EXTEND (spec F.2.2.1): map `size` raw bits to a signed
+    coefficient difference.
+
+    The reference's form (`decode.c:684-686`): if v < 2^(size-1), v -= 2^size - 1.
+    For size == 0 the reference relies on x86 shift-count wrapping to make the
+    test false (SURVEY.md quirk ledger); here size 0 explicitly returns 0.
+    """
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value

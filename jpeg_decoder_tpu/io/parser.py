@@ -1,0 +1,333 @@
+"""Marker walk: byte stream -> JpegStructure.
+
+Replaces the reference's marker dispatch loop (`decode_jpeg_buffer`
+`/root/reference/src/decode.c:138-424`) with a structural parse that is
+decoupled from entropy decoding: the walk records each scan's header, table
+snapshot, and entropy byte span (with all restart-marker offsets gathered by
+a vectorized prescan), so entropy decode can later run segment-parallel on
+host threads or on device.
+
+Parsing quirk compatibility notes (vs the reference):
+  * frame component dims use the float32 ceil rule (frame_header.c:52-55)
+    when cfg.quirks == REFERENCE, integer ceil division otherwise;
+  * a DHT with table id > 3 is rejected (the reference's check `id > nDCAC`
+    at huff_table.c:177 off-by-one-accepts id == nDCAC; we use the spec rule);
+  * unknown APPn/COM/reserved segments are skipped by length, like
+    read_app_segment (decode.c:426-434).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.types import (
+    Component,
+    EntropySpan,
+    FrameHeader,
+    HuffTableSpec,
+    JpegStructure,
+    QuantTable,
+    Scan,
+    ScanComponent,
+    ScanHeader,
+    ZIGZAG,
+)
+from ..utils.config import DecodeConfig, Quirks
+from ..utils.errors import (
+    JpegFormatError,
+    JpegTruncatedError,
+    JpegUnsupportedError,
+)
+from ..utils.logging import get_logger
+from . import bitstream as bs
+from .markers import (
+    Encoding,
+    Marker,
+    SOF_TO_ENCODING,
+    SUPPORTED_ENCODINGS,
+    is_app,
+    is_rst,
+    is_sof,
+)
+
+log = get_logger("parser")
+
+
+def _parse_frame_header(
+    data: np.ndarray, off: int, process: Encoding, quirks: Quirks
+) -> tuple[FrameHeader, int]:
+    """Parse SOFn payload (reference decode_frame_header frame_header.c:9-58)."""
+    length = bs.read_u16be(data, off)
+    if length < 8:
+        raise JpegFormatError("SOF segment too short", offset=off)
+    p = off + 2
+    precision = int(data[p])
+    height = bs.read_u16be(data, p + 1)
+    width = bs.read_u16be(data, p + 3)
+    ncs = int(data[p + 5])
+    if ncs == 0 or ncs * 3 != length - 8:
+        raise JpegFormatError(
+            f"SOF component count {ncs} inconsistent with length {length}",
+            offset=off,
+        )
+    p += 6
+    raw = []
+    for _ in range(ncs):
+        cid = int(data[p])
+        hv = int(data[p + 1])
+        qtid = int(data[p + 2])
+        raw.append((cid, hv >> 4, hv & 0xF, qtid))
+        p += 3
+    max_h = max(r[1] for r in raw)
+    max_v = max(r[2] for r in raw)
+    comps = []
+    for cid, h, v, qtid in raw:
+        if h == 0 or v == 0:
+            raise JpegFormatError(f"component {cid} has zero sampling factor")
+        if quirks == Quirks.REFERENCE:
+            # float32 ceil rule, frame_header.c:52-55
+            x = int(np.ceil(np.float32(width) * (np.float32(h) / np.float32(max_h))))
+            y = int(np.ceil(np.float32(height) * (np.float32(v) / np.float32(max_v))))
+        else:
+            x = -(-width * h // max_h)
+            y = -(-height * v // max_v)
+        comps.append(Component(id=cid, hsf=h, vsf=v, qtid=qtid, x=x, y=y))
+    fh = FrameHeader(
+        process=process,
+        precision=precision,
+        width=width,
+        height=height,
+        components=tuple(comps),
+    )
+    return fh, off + length
+
+
+def _parse_dht(
+    data: np.ndarray, off: int
+) -> tuple[list[HuffTableSpec], int]:
+    """Parse a DHT segment, possibly holding several tables
+    (reference decode_huff_tables huff_table.c:165-261)."""
+    length = bs.read_u16be(data, off)
+    if length < 2 + 17:
+        raise JpegFormatError("DHT segment too short", offset=off)
+    end = off + length
+    if end > data.shape[0]:
+        raise JpegTruncatedError("DHT extends past end of stream", offset=off)
+    p = off + 2
+    tables = []
+    while p < end:
+        tc_id = int(data[p])
+        table_class = (tc_id >> 4) & 0xF
+        table_id = tc_id & 0xF
+        if table_class > 1:
+            raise JpegFormatError(f"bad DHT class {table_class}", offset=p)
+        if table_id > 3:
+            raise JpegFormatError(f"bad DHT id {table_id}", offset=p)
+        if p + 17 > end:
+            raise JpegTruncatedError("DHT counts truncated", offset=p)
+        counts = data[p + 1 : p + 17].copy()
+        total = int(counts.sum())
+        if total > 256:
+            raise JpegFormatError("DHT has more than 256 symbols", offset=p)
+        if p + 17 + total > end:
+            raise JpegTruncatedError("DHT symbols truncated", offset=p)
+        symbols = data[p + 17 : p + 17 + total].copy()
+        tables.append(
+            HuffTableSpec(
+                table_class=table_class,
+                table_id=table_id,
+                counts=counts,
+                symbols=symbols,
+            )
+        )
+        p += 17 + total
+    return tables, end
+
+
+def _parse_dqt(data: np.ndarray, off: int) -> tuple[list[tuple[int, QuantTable]], int]:
+    """Parse a DQT segment (reference decode_quant_table quant_table.c:91-129).
+
+    Values are de-zigzagged to natural order at parse time, exactly like the
+    reference (quant_table.c:108-114)."""
+    length = bs.read_u16be(data, off)
+    if length < 2 + 65:
+        raise JpegFormatError("DQT segment too short", offset=off)
+    end = off + length
+    if end > data.shape[0]:
+        raise JpegTruncatedError("DQT extends past end of stream", offset=off)
+    p = off + 2
+    out = []
+    while p < end:
+        pq_tq = int(data[p])
+        precision = (pq_tq >> 4) & 0xF
+        table_id = pq_tq & 0xF
+        if table_id > 3:
+            raise JpegFormatError(f"bad DQT id {table_id}", offset=p)
+        if precision > 1:
+            raise JpegFormatError(f"bad DQT precision {precision}", offset=p)
+        n = 64 * (2 if precision else 1)
+        if p + 1 + n > end:
+            raise JpegTruncatedError("DQT values truncated", offset=p)
+        raw = data[p + 1 : p + 1 + n]
+        if precision:
+            zz_vals = (raw[0::2].astype(np.uint16) << 8) | raw[1::2]
+        else:
+            zz_vals = raw.astype(np.uint16)
+        natural = np.zeros(64, dtype=np.uint16)
+        natural[ZIGZAG] = zz_vals
+        out.append((table_id, QuantTable(precision=precision, values=natural)))
+        p += 1 + n
+    return out, end
+
+
+def _parse_sos_header(data: np.ndarray, off: int) -> tuple[ScanHeader, int]:
+    """Parse SOS payload (reference decode_scan_header scan_header.c:10-35)."""
+    length = bs.read_u16be(data, off)
+    if length < 6:
+        raise JpegFormatError("SOS segment too short", offset=off)
+    nics = int(data[off + 2])
+    if nics == 0 or nics > 4:
+        raise JpegFormatError(f"bad SOS component count {nics}", offset=off)
+    if length != 6 + 2 * nics:
+        raise JpegFormatError("SOS length inconsistent with nics", offset=off)
+    p = off + 3
+    comps = []
+    for _ in range(nics):
+        sc = int(data[p])
+        tt = int(data[p + 1])
+        comps.append(ScanComponent(sc=sc, dc=(tt >> 4) & 0xF, ac=tt & 0xF))
+        p += 2
+    ss = int(data[p])
+    se = int(data[p + 1])
+    ahal = int(data[p + 2])
+    sh = ScanHeader(
+        components=tuple(comps), ss=ss, se=se, ah=(ahal >> 4) & 0xF, al=ahal & 0xF
+    )
+    return sh, off + length
+
+
+def parse(
+    data_in: bytes | np.ndarray, cfg: DecodeConfig | None = None
+) -> JpegStructure:
+    """Walk the marker stream and return the full JpegStructure.
+
+    Mirrors decode_jpeg_buffer's dispatch (decode.c:160-409) structurally:
+    SOI/EOI, SOFn, DHT, DQT, DRI, DNL, SOS, APPn skip, COM skip, fill bytes.
+    """
+    cfg = cfg or DecodeConfig()
+    data = bs.as_byte_array(data_in)
+    n = data.shape[0]
+    if n < 4 or data[0] != 0xFF or data[1] != Marker.SOI:
+        raise JpegFormatError("stream does not start with SOI")
+
+    frame: FrameHeader | None = None
+    scans: list[Scan] = []
+    app_segments: list[tuple[int, int, bytes]] = []
+    dc_tables: dict[int, HuffTableSpec] = {}
+    ac_tables: dict[int, HuffTableSpec] = {}
+    quant_tables: dict[int, QuantTable] = {}
+    restart_interval = 0
+
+    p = 2
+    while p < n:
+        # Find next marker: skip non-FF bytes and FF fill bytes.
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        while p + 1 < n and data[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= n:
+            break
+        marker = int(data[p + 1])
+        seg = p + 2  # offset of segment payload (length field), if any
+
+        if marker == Marker.EOI:
+            break
+        elif marker == Marker.SOI or is_rst(marker) or marker == Marker.TEM:
+            p = seg
+        elif is_sof(marker):
+            process = SOF_TO_ENCODING[Marker(marker)]
+            if process not in SUPPORTED_ENCODINGS:
+                # The reference returns -1 for these too (decode.c:224-269).
+                raise JpegUnsupportedError(
+                    f"unsupported JPEG process {process.value}"
+                )
+            frame, p = _parse_frame_header(data, seg, process, cfg.quirks)
+        elif marker == Marker.DHT:
+            tables, p = _parse_dht(data, seg)
+            for t in tables:
+                if t.table_class == 0:
+                    dc_tables[t.table_id] = t
+                else:
+                    ac_tables[t.table_id] = t
+        elif marker == Marker.DQT:
+            tables, p = _parse_dqt(data, seg)
+            for tid, t in tables:
+                quant_tables[tid] = t
+        elif marker == Marker.DRI:
+            length = bs.read_u16be(data, seg)
+            if length != 4:
+                raise JpegFormatError("bad DRI length", offset=seg)
+            restart_interval = bs.read_u16be(data, seg + 2)
+            p = seg + length
+        elif marker == Marker.DNL:
+            length = bs.read_u16be(data, seg)
+            if length != 4:
+                raise JpegFormatError("bad DNL length", offset=seg)
+            if frame is None:
+                raise JpegFormatError("DNL before SOF", offset=seg)
+            frame = frame.with_height(bs.read_u16be(data, seg + 2))
+            p = seg + length
+        elif marker == Marker.SOS:
+            if frame is None:
+                raise JpegFormatError("SOS before SOF", offset=p)
+            sh, entropy_start = _parse_sos_header(data, seg)
+            if not quant_tables:
+                # Reference refuses to decode a scan without DQT (decode.c:321-326).
+                raise JpegFormatError("SOS with no quantization tables defined")
+            entropy_end = bs.entropy_span_end(data, entropy_start)
+            rst = bs.find_restart_markers(data, entropy_start, entropy_end)
+            span = EntropySpan(
+                start=entropy_start, end=entropy_end, restart_offsets=rst
+            )
+            scans.append(
+                Scan(
+                    header=sh,
+                    span=span,
+                    restart_interval=restart_interval,
+                    dc_tables=dict(dc_tables),
+                    ac_tables=dict(ac_tables),
+                    quant_tables=dict(quant_tables),
+                )
+            )
+            p = entropy_end
+        elif is_app(marker) or marker == Marker.COM:
+            length = bs.read_u16be(data, seg)
+            payload = bytes(data[seg + 2 : seg + length].tobytes())
+            app_segments.append((marker, p, payload))
+            p = seg + length
+        elif marker in (Marker.DAC, Marker.DHP, Marker.EXP) or (
+            Marker.JPG0 <= marker <= Marker.JPG13
+        ):
+            # Segments we recognize but do not use; skip by length.
+            length = bs.read_u16be(data, seg)
+            p = seg + length
+        elif marker == Marker.JPG:
+            raise JpegUnsupportedError("JPG extension marker")
+        elif 0x02 <= marker <= 0xBF:
+            # Reserved: the reference ignores them (decode.c:164-170).
+            p = seg
+        else:
+            log.warning("skipping unknown marker 0xFF%02X at %d", marker, p)
+            p = seg
+
+    if frame is None:
+        raise JpegFormatError("no SOF marker found")
+    if not scans:
+        raise JpegFormatError("no SOS marker found")
+    return JpegStructure(
+        frame=frame,
+        scans=tuple(scans),
+        data=data,
+        app_segments=tuple(app_segments),
+    )

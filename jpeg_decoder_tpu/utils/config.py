@@ -1,0 +1,143 @@
+"""Engine configuration.
+
+The reference has no config system: its only inputs are `argv[1]` and a
+compile-time `DEBUG` define (`/root/reference/src/debug.h:2`,
+`jpeg_decoder.c:31-34`). Here every behavioral switch is an explicit,
+runtime-checkable dataclass field, including the "quirk" switches that decide
+whether to replicate the reference's non-spec behaviors bit-for-bit (needed for
+conformance parity) or to use the corrected behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Any
+
+from .errors import JpegConfigError
+
+
+class Quirks(enum.Enum):
+    """Whether to replicate the reference decoder's quirks.
+
+    REFERENCE replicates, bit-for-bit, the behaviors catalogued in SURVEY.md's
+    quirk ledger:
+      * clamp-to-256 wrap in color conversion: an RGB value strictly greater
+        than 256.0 is stored as (uint8)256 == 0 (`colour_conversion.c:77-79`);
+      * truncating (not rounding) float->int casts in the IDCT output
+        (`dct.c:189-203`) and color conversion;
+      * nearest-neighbor chroma upsampling with float ratio-index truncation
+        (`colour_conversion.c:62-69`);
+      * grayscale output indexed at image width rather than the MCU-padded
+        plane stride (`colour_conversion.c:20`), which shears non-multiple-of-8
+        grayscale images;
+      * component dimensions computed as ceil(X * float32(h/hmax))
+        (`frame_header.c:52-55`), which over-counts by one in rare
+        ratio-1/3-style cases versus integer ceil division.
+
+    CORRECT fixes all of the above (spec-conformant clamp to 255, proper
+    stride, integer ceil division). NN upsampling remains the default
+    upsampler in both modes since it is the conformance target.
+    """
+
+    REFERENCE = "reference"
+    CORRECT = "correct"
+
+
+class IdctPrecision(enum.Enum):
+    """Numeric contract of the device IDCT.
+
+    EXACT   — emulate the reference's float32-storage/float64-compute
+              arithmetic with double-float (two-float) products so device
+              output matches the C decoder bit-for-bit (verified empirically
+              on the conformance corpus).
+    FLOAT32 — same dataflow in plain float32; ±1 LSB of the reference on a
+              tiny fraction of pixels, ~2x cheaper.
+    """
+
+    EXACT = "exact"
+    FLOAT32 = "float32"
+
+
+class EntropyBackend(enum.Enum):
+    """Who runs the serial entropy (Huffman) stage.
+
+    NATIVE — the C++ runtime (restart-segment-parallel, LUT-based). Default.
+    NUMPY  — vectorized NumPy decoder (no native build required).
+    ORACLE — the bit-serial NumPy oracle (slow; for conformance testing).
+    DEVICE — experimental on-device Pallas decoder (requires DRI streams).
+    """
+
+    NATIVE = "native"
+    NUMPY = "numpy"
+    ORACLE = "oracle"
+    DEVICE = "device"
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Configuration for the decode pipeline."""
+
+    quirks: Quirks = Quirks.REFERENCE
+    idct_precision: IdctPrecision = IdctPrecision.EXACT
+    entropy_backend: EntropyBackend = EntropyBackend.NATIVE
+    # Run dequant+IDCT+color on the TPU (False = all-host decode).
+    use_device: bool = True
+    # Interpret Pallas kernels (for CPU-backend testing/debugging).
+    interpret: bool = False
+    # Number of host threads for the native entropy stage (0 = all cores).
+    num_threads: int = 0
+    # Upsampling: "nn" is the reference rule; "fancy" is libjpeg-style
+    # triangular interpolation (needs a 1-row halo in stripe mode).
+    upsample: str = "nn"
+    # Emit per-stage timing metrics.
+    collect_metrics: bool = False
+
+    def __post_init__(self) -> None:
+        if self.upsample not in ("nn", "fancy"):
+            raise JpegConfigError(f"unknown upsample mode {self.upsample!r}")
+        if self.num_threads < 0:
+            raise JpegConfigError("num_threads must be >= 0")
+
+    def replace(self, **kw: Any) -> "DecodeConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodeConfig:
+    """Configuration for the encode pipeline (reference intent at
+    `/root/reference/src/encode.c:12-74`, built properly here)."""
+
+    quality: int = 85
+    # "444", "422", "420" chroma subsampling, or "gray".
+    subsampling: str = "420"
+    # Restart interval in MCUs (0 = none). Restart markers are this engine's
+    # parallelism seam, so the encoder emits them by default.
+    restart_interval: int = 0
+    use_device: bool = True
+    interpret: bool = False
+    # Huffman tables: "annex_k" = spec Tables K.3-K.6; "optimized" = two-pass
+    # per-image optimal code lengths.
+    huffman: str = "annex_k"
+
+    def __post_init__(self) -> None:
+        if not (1 <= self.quality <= 100):
+            raise JpegConfigError("quality must be in [1, 100]")
+        if self.subsampling not in ("444", "422", "420", "gray"):
+            raise JpegConfigError(f"unknown subsampling {self.subsampling!r}")
+        if self.huffman not in ("annex_k", "optimized"):
+            raise JpegConfigError(f"unknown huffman mode {self.huffman!r}")
+        if not (0 <= self.restart_interval <= 65535):
+            raise JpegConfigError("restart_interval must fit in uint16")
+
+    def replace(self, **kw: Any) -> "EncodeConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def env_flag(name: str, default: bool = False) -> bool:
+    """Read a boolean flag from the environment (JPEGTPU_* namespace)."""
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val.strip().lower() in ("1", "true", "yes", "on")
