@@ -1,0 +1,245 @@
+"""The decode pipeline: parse -> entropy decode -> device compute stage.
+
+This is the engine's "forward pass". Structure (SURVEY.md §7 architecture
+principle, inverting the reference's per-MCU loop decode.c:578-656):
+
+  host:    marker walk + table parse              (io/parser.py)
+  host:    entropy decode -> coefficient planes   (backend per config:
+           oracle / vectorized NumPy / native C++ / on-device lanes)
+  device:  ONE jitted program per (geometry, tables, config) doing
+           dequant + dezigzag + IDCT + block scatter + chroma upsample +
+           color conversion, all fused by XLA          (ops/idct.py, ops/color.py)
+
+The device program is cached by geometry signature, so decoding a stream of
+same-shaped JPEGs (the serving case) compiles once and then runs a single
+device dispatch per image with uint8 planes in and uint8 RGB out.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import oracle
+from ..core.types import (
+    CoefficientPlanes,
+    DecodedImage,
+    FrameHeader,
+    JpegStructure,
+)
+from ..io.markers import Encoding
+from ..io.parser import parse
+from ..utils.config import DecodeConfig, EntropyBackend, IdctPrecision, Quirks
+from ..utils.logging import get_logger
+from ..utils.metrics import GLOBAL_METRICS as metrics
+from ..ops import color as color_ops
+from ..ops import idct as idct_ops
+
+log = get_logger("decoder")
+
+
+# ---------------------------------------------------------------------------
+# Device stage
+# ---------------------------------------------------------------------------
+
+
+def _stage_key(frame: FrameHeader, qt_by_comp: tuple[bytes, ...], cfg: DecodeConfig):
+    return (
+        frame,
+        qt_by_comp,
+        cfg.idct_precision,
+        cfg.quirks,
+        cfg.upsample,
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _build_device_stage(key):
+    """Build + jit the device program for one geometry/table/config combo.
+
+    Takes the hashable key from _stage_key; returns a function
+    stage(*coeff_planes) -> rgb uint8 [H, W, 3] (or [H, W, 3] replicate for
+    grayscale).
+    """
+    frame, qt_by_comp, precision, quirks, upsample = key
+    comps = frame.components
+    bits12 = frame.precision == 12
+    h, w = frame.height, frame.width
+    exact = precision == IdctPrecision.EXACT
+    qtables = [np.frombuffer(q, dtype=np.uint16).copy() for q in qt_by_comp]
+    upsampler = (
+        color_ops.nn_upsample if upsample == "nn" else color_ops.fancy_upsample
+    )
+
+    def pixel_planes(coeff_planes):
+        out = []
+        for ci, c in enumerate(comps):
+            blocks = coeff_planes[ci].reshape(-1, 64)
+            pix = idct_ops.idct_blocks(blocks, qtables[ci], precision, bits12)
+            out.append(idct_ops.blocks_to_plane(pix, c.blocks_y, c.blocks_x))
+        return out
+
+    def upsampled(planes):
+        return [
+            upsampler(
+                planes[ci], h, w, c.hsf, c.vsf, frame.max_hsf, frame.max_vsf
+            )
+            for ci, c in enumerate(comps)
+        ]
+
+    if frame.ncs == 1:
+
+        def stage(*coeff_planes):
+            (plane,) = pixel_planes(coeff_planes)
+            if quirks == Quirks.REFERENCE:
+                # y_rgb indexes the padded plane at IMAGE-width stride
+                # (colour_conversion.c:20) — shears non-multiple-of-8 widths.
+                idx = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                )
+                y = plane.reshape(-1)[jnp.asarray(idx)]
+            else:
+                y = plane[:h, :w]
+            return color_ops.gray_to_rgb(y), plane
+
+    elif frame.ncs == 3:
+
+        def stage(*coeff_planes):
+            planes = pixel_planes(coeff_planes)
+            y, cb, cr = upsampled(planes)
+            return color_ops.ycbcr_to_rgb(y, cb, cr, exact, quirks), planes
+
+    elif frame.ncs == 4:
+
+        def stage(*coeff_planes):
+            planes = pixel_planes(coeff_planes)
+            y, cb, cr, k = upsampled(planes)
+            return color_ops.ycck_to_rgb(y, cb, cr, k, exact, quirks), planes
+
+    else:
+        raise ValueError(f"no color transform for {frame.ncs} components")
+
+    return jax.jit(stage)
+
+
+def device_stage_for(
+    frame: FrameHeader, qtid_tables: dict[int, np.ndarray], cfg: DecodeConfig
+):
+    """Resolve per-component quant tables and return the cached jitted stage."""
+    qt_by_comp = tuple(
+        np.ascontiguousarray(qtid_tables[c.qtid], dtype=np.uint16).tobytes()
+        for c in frame.components
+    )
+    return _build_device_stage(_stage_key(frame, qt_by_comp, cfg))
+
+
+# ---------------------------------------------------------------------------
+# Entropy backends
+# ---------------------------------------------------------------------------
+
+
+def _entropy_decode(
+    structure: JpegStructure, cfg: DecodeConfig
+) -> tuple[CoefficientPlanes, dict[int, np.ndarray]]:
+    """Run every scan's entropy decode into coefficient planes on the chosen
+    backend; returns (planes, qtid -> natural-order table)."""
+    frame = structure.frame
+    planes = CoefficientPlanes(frame)
+    qts: dict[int, np.ndarray] = {}
+    backend = cfg.entropy_backend
+
+    if backend == EntropyBackend.NATIVE:
+        from ..native import runtime as native_runtime
+
+        if native_runtime.available():
+            with metrics.timer("entropy_native"):
+                return native_runtime.entropy_decode(structure, cfg)
+        log.warning("native runtime unavailable; falling back to NumPy")
+        backend = EntropyBackend.NUMPY
+
+    if backend == EntropyBackend.NUMPY:
+        from ..core import entropy_np
+
+        with metrics.timer("entropy_numpy"):
+            return entropy_np.entropy_decode(structure, cfg)
+
+    if backend == EntropyBackend.DEVICE:
+        from ..ops import entropy_device
+
+        with metrics.timer("entropy_device"):
+            return entropy_device.entropy_decode(structure, cfg)
+
+    with metrics.timer("entropy_oracle"):
+        for scan in structure.scans:
+            for tid, qt in scan.quant_tables.items():
+                qts[tid] = qt.values
+            if frame.process == Encoding.PROGRESSIVE_DCT:
+                oracle.decode_progressive_scan(structure, scan, planes)
+            else:
+                oracle.decode_sequential_scan(structure, scan, planes)
+    return planes, qts
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def decode_structure(
+    structure: JpegStructure, cfg: DecodeConfig | None = None
+) -> DecodedImage:
+    """Decode an already-parsed stream."""
+    cfg = cfg or DecodeConfig()
+    frame = structure.frame
+    planes, qts = _entropy_decode(structure, cfg)
+
+    if not cfg.use_device:
+        with metrics.timer("pixel_host"):
+            pixel_planes = oracle.pixels_from_coeffs(frame, planes, qts)
+            rgb = oracle.color_convert(frame, pixel_planes, cfg.quirks)
+        return DecodedImage(frame=frame, planes=pixel_planes, rgb=rgb)
+
+    stage = device_stage_for(frame, qts, cfg)
+    with metrics.timer("device_stage"):
+        rgb_dev, planes_dev = stage(*[jnp.asarray(p) for p in planes])
+        rgb = np.asarray(jax.device_get(rgb_dev))
+    if isinstance(planes_dev, (list, tuple)):
+        host_planes = [np.asarray(jax.device_get(p)) for p in planes_dev]
+    else:
+        host_planes = [np.asarray(jax.device_get(planes_dev))]
+    return DecodedImage(frame=frame, planes=host_planes, rgb=rgb)
+
+
+def decode(data: bytes | np.ndarray, cfg: DecodeConfig | None = None) -> DecodedImage:
+    """Decode one JPEG byte stream end to end."""
+    cfg = cfg or DecodeConfig()
+    with metrics.timer("parse"):
+        structure = parse(data, cfg)
+    return decode_structure(structure, cfg)
+
+
+def decode_rgb(data: bytes | np.ndarray, cfg: DecodeConfig | None = None) -> np.ndarray:
+    """Decode straight to an [H, W, 3] uint8 RGB array."""
+    return decode(data, cfg).rgb
+
+
+class JpegDecoder:
+    """Reusable decoder handle: holds config, shares the device-program cache
+    across calls (the serving pattern: same-geometry JPEGs decode with one
+    compile)."""
+
+    def __init__(self, cfg: DecodeConfig | None = None):
+        self.cfg = cfg or DecodeConfig()
+
+    def parse(self, data) -> JpegStructure:
+        return parse(data, self.cfg)
+
+    def decode(self, data) -> DecodedImage:
+        return decode(data, self.cfg)
+
+    def decode_rgb(self, data) -> np.ndarray:
+        return decode_rgb(data, self.cfg)

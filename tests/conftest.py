@@ -7,13 +7,21 @@ logic must be testable on a CPU mesh).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax backends initialize. Force CPU even when a real
+# TPU is attached: unit tests need deterministic IEEE f32 and fast compiles;
+# the bench driver exercises the real chip separately. The TPU plugin in
+# this image force-prepends itself to the jax_platforms CONFIG (overriding
+# the env var), so the config must be reset after import too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import subprocess
 from pathlib import Path

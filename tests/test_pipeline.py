@@ -1,0 +1,79 @@
+"""End-to-end pipeline tests: full decode (device stage) vs the oracle.
+
+The oracle is reference-parity-validated (test_reference_parity.py), so
+bitwise agreement here chains all the way to the compiled C decoder.
+"""
+
+import numpy as np
+import pytest
+
+from jpeg_decoder_tpu.core import oracle
+from jpeg_decoder_tpu.models import decoder
+from jpeg_decoder_tpu.utils.config import (
+    DecodeConfig,
+    EntropyBackend,
+    IdctPrecision,
+    Quirks,
+)
+
+from . import corpus
+
+
+ORACLE_CFG = DecodeConfig(entropy_backend=EntropyBackend.ORACLE)
+
+
+@pytest.mark.parametrize("name,data", corpus.baseline_corpus(), ids=lambda v: v if isinstance(v, str) else "")
+def test_device_pipeline_bitwise_vs_oracle(name, data):
+    want = oracle.decode(data)
+    got = decoder.decode(data, ORACLE_CFG)
+    assert got.rgb.shape == want.rgb.shape
+    np.testing.assert_array_equal(got.rgb, want.rgb)
+    for gp, wp in zip(got.planes, want.planes):
+        np.testing.assert_array_equal(gp, wp)
+
+
+@pytest.mark.parametrize(
+    "name,data", corpus.progressive_corpus(), ids=lambda v: v if isinstance(v, str) else ""
+)
+def test_device_pipeline_progressive(name, data):
+    want = oracle.decode(data)
+    got = decoder.decode(data, ORACLE_CFG)
+    np.testing.assert_array_equal(got.rgb, want.rgb)
+
+
+def test_float32_mode_within_1lsb():
+    name, data = corpus.baseline_corpus()[3]  # rgb444_q90
+    want = oracle.decode(data).rgb.astype(np.int32)
+    cfg = ORACLE_CFG.replace(idct_precision=IdctPrecision.FLOAT32)
+    got = decoder.decode(data, cfg).rgb.astype(np.int32)
+    assert np.abs(got - want).max() <= 1
+
+
+def test_correct_quirks_mode_runs():
+    # CORRECT mode fixes the reference's quirks; sanity: close to REFERENCE.
+    name, data = corpus.baseline_corpus()[0]  # gray_64_q85
+    cfg = ORACLE_CFG.replace(quirks=Quirks.CORRECT)
+    got = decoder.decode(data, cfg)
+    want = oracle.decode(data)
+    assert np.abs(got.rgb.astype(int) - want.rgb.astype(int)).max() <= 1
+
+
+def test_host_only_mode_matches_device():
+    name, data = corpus.baseline_corpus()[6]  # rgb420_odd_q85
+    dev = decoder.decode(data, ORACLE_CFG)
+    host = decoder.decode(data, ORACLE_CFG.replace(use_device=False))
+    np.testing.assert_array_equal(dev.rgb, host.rgb)
+
+
+def test_decoder_class_and_stage_cache():
+    d = decoder.JpegDecoder(ORACLE_CFG)
+    name, data = corpus.baseline_corpus()[0]
+    a = d.decode(data)
+    b = d.decode(data)
+    np.testing.assert_array_equal(a.rgb, b.rgb)
+    # Same geometry + tables -> same cached jitted stage.
+    s = d.parse(data)
+    qts = {tid: qt.values for sc in s.scans for tid, qt in sc.quant_tables.items()}
+    st1 = decoder.device_stage_for(s.frame, qts, ORACLE_CFG)
+    st2 = decoder.device_stage_for(s.frame, qts, ORACLE_CFG)
+    assert st1 is st2
