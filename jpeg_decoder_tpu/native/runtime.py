@@ -1,0 +1,258 @@
+"""ctypes bindings + Python-side orchestration for the native runtime.
+
+`entropy_decode(structure, cfg)` runs every scan of a parsed JPEG through
+the C++ segment-parallel entropy decoder (src/jdt_entropy.cpp) into the
+coefficient-plane IR. The scan-layout math here mirrors core/oracle.py
+exactly (which mirrors the reference's write_mcu coordinate rule,
+/root/reference/src/decode.c:475-486); the bitstream work happens in C++.
+
+Falls back cleanly: `available()` returns False when the toolchain or
+library is missing, and models/decoder.py then uses the NumPy backend.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+
+import numpy as np
+
+from ..core.huffman import build_canonical, build_flat_lut
+from ..core.types import CoefficientPlanes, JpegStructure, Scan
+from ..io.markers import Encoding
+from ..utils.config import DecodeConfig
+from ..utils.errors import JpegEntropyError, JpegFormatError
+from ..utils.logging import get_logger
+from . import build as build_mod
+
+log = get_logger("native.runtime")
+
+_lib = None
+_lib_lock = threading.Lock()
+_STATUS = {
+    1: "invalid Huffman code",
+    2: "coefficient index out of range",
+    3: "entropy data truncated",
+    4: "bad native-call argument",
+}
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        path = build_mod.build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError as e:
+            log.error("cannot load native runtime: %s", e)
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.jdt_version.restype = ctypes.c_int32
+        lib.jdt_decode_sequential.restype = ctypes.c_int32
+        lib.jdt_decode_sequential.argtypes = [
+            u8p,                                 # data
+            ctypes.POINTER(ctypes.c_int64),      # seg_bounds
+            ctypes.c_int64,                      # n_segs
+            ctypes.c_int64,                      # total_mcus
+            ctypes.c_int64,                      # ri
+            ctypes.POINTER(ctypes.c_int32),      # unit_params
+            ctypes.c_int32,                      # n_units
+            ctypes.POINTER(u8p),                 # lut_symbols
+            ctypes.POINTER(u8p),                 # lut_lengths
+            ctypes.c_int32,                      # n_luts
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # planes
+            ctypes.c_int32,                      # n_threads
+            ctypes.POINTER(ctypes.c_int64),      # err_out
+        ]
+        lib.jdt_decode_progressive.restype = ctypes.c_int32
+        lib.jdt_decode_progressive.argtypes = (
+            lib.jdt_decode_sequential.argtypes[:11]
+            + [ctypes.c_int32] * 4               # ss, se, ah, al
+            + [ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
+        )
+        if lib.jdt_version() != 1:
+            log.error("native runtime ABI mismatch")
+            return None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# Scan layout (shared with oracle; see oracle._block_position)
+# ---------------------------------------------------------------------------
+
+
+def scan_layout(structure: JpegStructure, scan: Scan):
+    """Returns (total_mcus, unit_params int32 [n_units, 11], lut arrays).
+
+    unit_params columns: plane, scomp, dc_lut, ac_lut, h, v, j, k, wrap,
+    plane_bw, plane_bh — consumed by UnitLayout in jdt_entropy.cpp.
+    """
+    frame = structure.frame
+    sh = scan.header
+
+    luts = []
+    lut_index: dict[tuple[int, int], int] = {}
+
+    def lut_for(table_class: int, table_id: int, tables) -> int:
+        key = (table_class, table_id)
+        if key not in lut_index:
+            if table_id not in tables:
+                raise JpegFormatError(
+                    f"scan uses undefined {'DC' if table_class == 0 else 'AC'}"
+                    f" table {table_id}"
+                )
+            flat = build_flat_lut(build_canonical(tables[table_id]))
+            lut_index[key] = len(luts)
+            luts.append(flat)
+        return lut_index[key]
+
+    units = []
+    is_dc_scan = frame.process == Encoding.PROGRESSIVE_DCT and sh.ss == 0
+    is_prog = frame.process == Encoding.PROGRESSIVE_DCT
+    needs_dc = (not is_prog) or (is_dc_scan and sh.ah == 0)
+    needs_ac = (not is_prog) or (not is_dc_scan)
+
+    if sh.nics == 1:
+        sc = sh.components[0]
+        ci, c = frame.find_component(sc.sc)
+        pad_x = (c.x + 7) // 8
+        pad_y = (c.y + 7) // 8
+        total_mcus = pad_x * pad_y
+        plane_bw, plane_bh = c.blocks_x, c.blocks_y
+        wrap = pad_x if plane_bw > pad_x else plane_bw
+        dc = lut_for(0, sc.dc, scan.dc_tables) if needs_dc else 0
+        ac = lut_for(1, sc.ac, scan.ac_tables) if needs_ac else 0
+        units.append((ci, 0, dc, ac, 1, 1, 0, 0, wrap, plane_bw, plane_bh))
+    else:
+        total_mcus = frame.mcus_x * frame.mcus_y
+        for sci, sc in enumerate(sh.components):
+            ci, c = frame.find_component(sc.sc)
+            dc = lut_for(0, sc.dc, scan.dc_tables) if needs_dc else 0
+            ac = lut_for(1, sc.ac, scan.ac_tables) if needs_ac else 0
+            pad = 8 * c.hsf
+            x_to_mcu = (c.x + ((pad - (c.x % pad)) % pad)) // 8
+            plane_bw, plane_bh = c.blocks_x, c.blocks_y
+            wrap = x_to_mcu if plane_bw > x_to_mcu else plane_bw
+            for j in range(c.vsf):
+                for k in range(c.hsf):
+                    units.append(
+                        (ci, sci, dc, ac, c.hsf, c.vsf, j, k,
+                         wrap, plane_bw, plane_bh)
+                    )
+
+    if not luts:
+        # DC-refine scans decode raw bits only; the C side still wants one
+        # valid LUT pointer pair.
+        from ..core.types import HuffTableSpec
+
+        dummy = HuffTableSpec(
+            table_class=0,
+            table_id=0,
+            counts=np.array([1] + [0] * 15, dtype=np.uint8),
+            symbols=np.array([0], dtype=np.uint8),
+        )
+        luts.append(build_flat_lut(build_canonical(dummy)))
+
+    params = np.array(units, dtype=np.int32)
+    return total_mcus, params, luts
+
+
+def _check_segments(scan: Scan, total_mcus: int) -> int:
+    """Validate segment count against the restart interval; returns n_segs."""
+    n_segs = scan.span.num_segments
+    ri = scan.restart_interval
+    if ri == 0:
+        if n_segs != 1:
+            # Restart markers present but DRI never seen: reference would
+            # desync; treat as malformed.
+            raise JpegEntropyError(
+                f"{n_segs - 1} restart markers in scan but restart interval 0"
+            )
+        return 1
+    expect = -(-total_mcus // ri)
+    if n_segs != expect:
+        raise JpegEntropyError(
+            f"scan has {n_segs} restart segments, expected {expect}"
+        )
+    return n_segs
+
+
+def decode_scan_native(
+    structure: JpegStructure,
+    scan: Scan,
+    planes: CoefficientPlanes,
+    cfg: DecodeConfig,
+) -> None:
+    """Decode one scan (sequential or progressive) via the C++ runtime."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    frame = structure.frame
+    total_mcus, params, luts = scan_layout(structure, scan)
+    n_segs = _check_segments(scan, total_mcus)
+
+    bounds = np.array(
+        [b for se in scan.span.segment_bounds() for b in se], dtype=np.int64
+    )
+    data = np.ascontiguousarray(structure.data)
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lut_sym = (u8p * len(luts))(
+        *[lut.lut_symbol.ctypes.data_as(u8p) for lut in luts]
+    )
+    lut_len = (u8p * len(luts))(
+        *[lut.lut_length.ctypes.data_as(u8p) for lut in luts]
+    )
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    plane_ptrs = (i32p * frame.ncs)(
+        *[planes.plane(i).ctypes.data_as(i32p) for i in range(frame.ncs)]
+    )
+    err = np.full(2, -1, dtype=np.int64)
+
+    common = (
+        data.ctypes.data_as(u8p),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_segs,
+        total_mcus,
+        scan.restart_interval,
+        params.ctypes.data_as(i32p),
+        params.shape[0],
+        lut_sym,
+        lut_len,
+        len(luts),
+        plane_ptrs,
+    )
+    tail = (cfg.num_threads, err.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if frame.process == Encoding.PROGRESSIVE_DCT:
+        sh = scan.header
+        rc = lib.jdt_decode_progressive(
+            *common, sh.ss, sh.se, sh.ah, sh.al, *tail
+        )
+    else:
+        rc = lib.jdt_decode_sequential(*common, *tail)
+    if rc != 0:
+        raise JpegEntropyError(
+            f"native entropy decode failed: {_STATUS.get(rc, rc)}"
+            f" (segment {err[0]}, mcu {err[1]})",
+            mcu=int(err[1]),
+        )
+
+
+def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):
+    """All scans -> (CoefficientPlanes, qtid -> natural-order table)."""
+    planes = CoefficientPlanes(structure.frame)
+    qts: dict[int, np.ndarray] = {}
+    for scan in structure.scans:
+        for tid, qt in scan.quant_tables.items():
+            qts[tid] = qt.values
+        decode_scan_native(structure, scan, planes, cfg)
+    return planes, qts

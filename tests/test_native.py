@@ -1,0 +1,104 @@
+"""Native C++ runtime tests: segment-parallel entropy decode vs the oracle."""
+
+import numpy as np
+import pytest
+
+from jpeg_decoder_tpu.core import oracle
+from jpeg_decoder_tpu.core.types import CoefficientPlanes
+from jpeg_decoder_tpu.models import decoder
+from jpeg_decoder_tpu.native import runtime as native_runtime
+from jpeg_decoder_tpu.utils.config import DecodeConfig, EntropyBackend
+
+from . import corpus
+
+pytestmark = pytest.mark.skipif(
+    not native_runtime.available(), reason="native runtime unavailable"
+)
+
+NATIVE_CFG = DecodeConfig(entropy_backend=EntropyBackend.NATIVE)
+
+
+def _oracle_planes(data):
+    from jpeg_decoder_tpu.io.parser import parse
+    from jpeg_decoder_tpu.io.markers import Encoding
+
+    s = parse(data)
+    planes = CoefficientPlanes(s.frame)
+    for scan in s.scans:
+        if s.frame.process == Encoding.PROGRESSIVE_DCT:
+            oracle.decode_progressive_scan(s, scan, planes)
+        else:
+            oracle.decode_sequential_scan(s, scan, planes)
+    return s, planes
+
+
+@pytest.mark.parametrize(
+    "name,data", corpus.baseline_corpus(), ids=lambda v: v if isinstance(v, str) else ""
+)
+def test_native_coefficients_match_oracle(name, data):
+    s, want = _oracle_planes(data)
+    got, _ = native_runtime.entropy_decode(s, NATIVE_CFG)
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+@pytest.mark.parametrize(
+    "name,data", corpus.progressive_corpus(), ids=lambda v: v if isinstance(v, str) else ""
+)
+def test_native_progressive_match_oracle(name, data):
+    s, want = _oracle_planes(data)
+    got, _ = native_runtime.entropy_decode(s, NATIVE_CFG)
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+@pytest.mark.parametrize(
+    "name,dri,plain", corpus.dri_corpus(), ids=lambda v: v if isinstance(v, str) else ""
+)
+def test_native_dri_segment_parallel(name, dri, plain):
+    """Restart streams decode identically to plain streams (reference
+    property, BASELINE.md), exercising the multi-segment parallel path."""
+    img_dri = decoder.decode(dri, NATIVE_CFG)
+    img_plain = decoder.decode(plain, NATIVE_CFG)
+    np.testing.assert_array_equal(img_dri.rgb, img_plain.rgb)
+    # And the parallel path agrees with the oracle segment-by-segment.
+    s, want = _oracle_planes(dri)
+    got, _ = native_runtime.entropy_decode(s, NATIVE_CFG)
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+def test_native_single_thread_matches_parallel():
+    name, dri, plain = corpus.dri_corpus()[0]
+    from jpeg_decoder_tpu.io.parser import parse
+
+    s = parse(dri)
+    got1, _ = native_runtime.entropy_decode(s, NATIVE_CFG.replace(num_threads=1))
+    gotn, _ = native_runtime.entropy_decode(s, NATIVE_CFG.replace(num_threads=8))
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got1.plane(ci), gotn.plane(ci))
+
+
+def test_native_full_pipeline_end_to_end():
+    name, data = corpus.baseline_corpus()[6]  # rgb420_odd_q85
+    want = oracle.decode(data)
+    got = decoder.decode(data, NATIVE_CFG)
+    np.testing.assert_array_equal(got.rgb, want.rgb)
+
+
+def test_native_error_on_corrupt_stream():
+    from jpeg_decoder_tpu.io.parser import parse
+    from jpeg_decoder_tpu.utils.errors import JpegEntropyError, JpegError
+
+    name, data = corpus.baseline_corpus()[0]
+    bad = bytearray(data)
+    # Stomp the middle of the entropy data with an invalid-prefix pattern.
+    s = parse(bytes(bad))
+    span = s.scans[0].span
+    mid = (span.start + span.end) // 2
+    bad[mid : mid + 8] = b"\xff\x00" * 4  # long runs of 1s: likely bad code
+    try:
+        s2 = parse(bytes(bad))
+        native_runtime.entropy_decode(s2, NATIVE_CFG)
+    except JpegError:
+        pass  # any structured error is acceptable; must not crash/exit
