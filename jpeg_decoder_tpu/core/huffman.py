@@ -49,6 +49,10 @@ class CanonicalTable:
             code = (code << 1) | next_bit()
         raise JpegEntropyError("invalid Huffman code (no length <= 16 matched)")
 
+    def decode(self, reader) -> int:
+        """Decode one symbol from a bit reader (walk form)."""
+        return self.decode_walk(reader.read_bit(), reader.read_bit)
+
 
 def build_canonical(spec: HuffTableSpec) -> CanonicalTable:
     """Annex C code assignment, matching huff_table.c:187-216: for each
@@ -92,11 +96,19 @@ class FlatLut:
     lut_symbol: np.ndarray  # (65536,) uint8
     lut_length: np.ndarray  # (65536,) uint8
 
-    def decode(self, peek16: int) -> tuple[int, int]:
+    def decode_peek(self, peek16: int) -> tuple[int, int]:
         length = int(self.lut_length[peek16])
         if length == 0:
             raise JpegEntropyError("invalid Huffman code")
         return int(self.lut_symbol[peek16]), length
+
+    def decode(self, reader) -> int:
+        """Decode one symbol from a bit reader (LUT form): one 16-bit peek,
+        one table hit, one skip — the O(1) replacement for the reference's
+        compare walk (SURVEY.md §3.4)."""
+        sym, length = self.decode_peek(reader.peek16())
+        reader.skip(length)
+        return sym
 
 
 def build_flat_lut(canon: CanonicalTable) -> FlatLut:

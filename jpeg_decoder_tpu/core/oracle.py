@@ -61,7 +61,9 @@ def _block_position(
     return by, bx
 
 
-def _segment_readers(structure: JpegStructure, scan: Scan) -> list[bsio.BitReader]:
+def _segment_readers(
+    structure: JpegStructure, scan: Scan, reader_cls=bsio.BitReader
+) -> list:
     """One bit reader per restart segment: each segment is unstuffed
     independently, so crossing into the next one resets bit alignment (and
     the caller resets DC predictors), matching restart_marker handling
@@ -69,20 +71,21 @@ def _segment_readers(structure: JpegStructure, scan: Scan) -> list[bsio.BitReade
     readers = []
     for s, e in scan.span.segment_bounds():
         unstuffed, _ = bsio.unstuff(structure.data, s, e)
-        readers.append(bsio.BitReader(unstuffed))
+        readers.append(reader_cls(unstuffed))
     return readers
 
 
 def _decode_data_unit_sequential(
-    reader: bsio.BitReader,
-    dc_table: CanonicalTable,
-    ac_table: CanonicalTable,
+    reader,
+    dc_table,
+    ac_table,
     pred: int,
 ) -> tuple[np.ndarray, int]:
     """One 8x8 data unit -> 64 zigzag-order coefficients; mirrors
-    decode_data_unit (decode.c:665-723)."""
+    decode_data_unit (decode.c:665-723). Tables may be CanonicalTable
+    (walk form) or FlatLut (LUT form) — both expose .decode(reader)."""
     du = np.zeros(64, dtype=np.int32)
-    mag = dc_table.decode_walk(reader.read_bit(), reader.read_bit)
+    mag = dc_table.decode(reader)
     if mag > 15:
         raise JpegEntropyError(f"DC magnitude category {mag} > 15")
     diff = bsio.receive_extend(reader.read_bits(mag), mag)
@@ -91,7 +94,7 @@ def _decode_data_unit_sequential(
 
     i = 1
     while i < 64:
-        rs = ac_table.decode_walk(reader.read_bit(), reader.read_bit)
+        rs = ac_table.decode(reader)
         size = rs & 0x0F
         run = (rs >> 4) & 0x0F
         i += run
@@ -108,7 +111,11 @@ def _decode_data_unit_sequential(
 
 
 def decode_sequential_scan(
-    structure: JpegStructure, scan: Scan, planes: CoefficientPlanes
+    structure: JpegStructure,
+    scan: Scan,
+    planes: CoefficientPlanes,
+    reader_cls=bsio.BitReader,
+    table_builder=build_canonical,
 ) -> None:
     """Fill coefficient planes from a baseline/extended sequential scan.
 
@@ -119,7 +126,7 @@ def decode_sequential_scan(
     frame = structure.frame
     sh = scan.header
     ri = scan.restart_interval
-    readers = _segment_readers(structure, scan)
+    readers = _segment_readers(structure, scan, reader_cls)
 
     dc_tables = {}
     ac_tables = {}
@@ -128,8 +135,8 @@ def decode_sequential_scan(
             raise JpegFormatError(f"scan uses undefined DC table {sc.dc}")
         if sc.ac not in scan.ac_tables:
             raise JpegFormatError(f"scan uses undefined AC table {sc.ac}")
-        dc_tables[sc.dc] = build_canonical(scan.dc_tables[sc.dc])
-        ac_tables[sc.ac] = build_canonical(scan.ac_tables[sc.ac])
+        dc_tables[sc.dc] = table_builder(scan.dc_tables[sc.dc])
+        ac_tables[sc.ac] = table_builder(scan.ac_tables[sc.ac])
 
     if sh.nics == 1:
         ci, c = frame.find_component(sh.components[0].sc)
@@ -202,11 +209,13 @@ def decode_progressive_scan(
     structure: JpegStructure,
     scan: Scan,
     planes: CoefficientPlanes,
+    reader_cls=bsio.BitReader,
+    table_builder=build_canonical,
 ) -> None:
     frame = structure.frame
     sh = scan.header
     ri = scan.restart_interval
-    readers = _segment_readers(structure, scan)
+    readers = _segment_readers(structure, scan, reader_cls)
 
     is_dc = sh.ss == 0
     if is_dc and sh.se != 0:
@@ -218,9 +227,9 @@ def decode_progressive_scan(
     ac_tables = {}
     for sc in sh.components:
         if is_dc and sh.ah == 0:
-            dc_tables[sc.dc] = build_canonical(scan.dc_tables[sc.dc])
+            dc_tables[sc.dc] = table_builder(scan.dc_tables[sc.dc])
         if not is_dc:
-            ac_tables[sc.ac] = build_canonical(scan.ac_tables[sc.ac])
+            ac_tables[sc.ac] = table_builder(scan.ac_tables[sc.ac])
 
     if sh.nics == 1:
         ci, c = frame.find_component(sh.components[0].sc)
@@ -272,7 +281,7 @@ def decode_progressive_scan(
             coef = plane[by, bx]  # (64,) int32 view, zigzag order
 
             if is_dc and sh.ah == 0:
-                mag = dc_tables[sc.dc].decode_walk(reader.read_bit(), reader.read_bit)
+                mag = dc_tables[sc.dc].decode(reader)
                 diff = bsio.receive_extend(reader.read_bits(mag), mag)
                 preds[sci] += diff
                 coef[0] = preds[sci] << sh.al
@@ -299,7 +308,7 @@ def _ac_first(
         return eobrun - 1
     k = sh.ss
     while k <= sh.se:
-        rs = ac.decode_walk(reader.read_bit(), reader.read_bit)
+        rs = ac.decode(reader)
         size = rs & 0x0F
         run = (rs >> 4) & 0x0F
         if size == 0:
@@ -337,7 +346,7 @@ def _ac_refine(
     k = sh.ss
     if eobrun == 0:
         while k <= sh.se:
-            rs = ac.decode_walk(reader.read_bit(), reader.read_bit)
+            rs = ac.decode(reader)
             size = rs & 0x0F
             run = (rs >> 4) & 0x0F
             val = 0

@@ -155,6 +155,53 @@ class BitReader:
         return self.pos >= self.bits.shape[0]
 
 
+class FastBitReader:
+    """Byte-addressed MSB-first bit reader over an unstuffed buffer.
+
+    Same observable API as BitReader but O(1) peeks/reads via Python int
+    arithmetic on the byte string instead of a prefix-unpacked bit array —
+    the host fast path backing the NumPy LUT entropy backend. Reads past
+    the end yield zero bits (callers detect truncation from marker/segment
+    bookkeeping), matching the native runtime's padding behavior.
+    """
+
+    __slots__ = ("b", "pos", "nbits")
+
+    def __init__(self, unstuffed: np.ndarray):
+        self.b = unstuffed.tobytes() + b"\x00" * 8
+        self.pos = 0
+        self.nbits = (len(self.b) - 8) * 8
+
+    def read_bit(self) -> int:
+        p = self.pos
+        self.pos = p + 1
+        return (self.b[p >> 3] >> (7 - (p & 7))) & 1
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        self.pos = p + n
+        byte = p >> 3
+        sh = p & 7
+        w = int.from_bytes(self.b[byte : byte + 5], "big")
+        return (w >> (40 - sh - n)) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        p = self.pos
+        byte = p >> 3
+        sh = p & 7
+        w = int.from_bytes(self.b[byte : byte + 4], "big")
+        return (w >> (16 - sh)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    @property
+    def exhausted(self) -> bool:
+        return self.pos >= self.nbits
+
+
 def receive_extend(value: int, size: int) -> int:
     """JPEG RECEIVE/EXTEND (spec F.2.2.1): map `size` raw bits to a signed
     coefficient difference.

@@ -77,3 +77,15 @@ def test_decoder_class_and_stage_cache():
     st1 = decoder.device_stage_for(s.frame, qts, ORACLE_CFG)
     st2 = decoder.device_stage_for(s.frame, qts, ORACLE_CFG)
     assert st1 is st2
+
+
+@pytest.mark.parametrize(
+    "name,data",
+    corpus.baseline_corpus()[:6] + corpus.progressive_corpus()[:2],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_numpy_backend_matches_oracle(name, data):
+    cfg = ORACLE_CFG.replace(entropy_backend=EntropyBackend.NUMPY)
+    want = oracle.decode(data)
+    got = decoder.decode(data, cfg)
+    np.testing.assert_array_equal(got.rgb, want.rgb)
