@@ -1,0 +1,220 @@
+"""The encode pipeline: device color/FDCT stage + host Huffman pack + writer.
+
+A working baseline JPEG encoder — the capability the reference intends but
+does not have (its encoder neither compiles nor produces a stream,
+/root/reference/src/jpeg_encoder.c:35-46, encode.c:12-74). Structure mirrors
+the decoder in reverse:
+
+  device:  pad -> RGB->YCbCr -> box subsample -> level shift ->
+           FDCT+quantize as one MXU matmul per component      (ops/fdct.py)
+  host:    MCU-interleaved run/size Huffman pack, optional restart
+           markers, optional two-pass optimized tables   (core/entropy_encode)
+  host:    marker emission                                     (io/writer.py)
+
+Restart markers are this engine's parallelism seam (SURVEY.md §2), so the
+encoder can emit them (cfg.restart_interval) to make its own output
+segment-parallel-decodable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import entropy_encode, huffman
+from ..core.types import (
+    standard_chrominance_qtable,
+    standard_luminance_qtable,
+)
+from ..io import writer
+from ..ops import fdct as fdct_ops
+from ..utils.config import EncodeConfig
+from ..utils.errors import JpegConfigError
+
+_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def quality_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (natural order)."""
+    if quality < 50:
+        scale = 5000 // quality
+    else:
+        scale = 200 - 2 * quality
+    out = []
+    for base in (standard_luminance_qtable(), standard_chrominance_qtable()):
+        t = (base.astype(np.int64) * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.uint16))
+    return out[0], out[1]
+
+
+@functools.lru_cache(maxsize=64)
+def _build_device_stage(h: int, w: int, subsampling: str,
+                        qt_bytes: tuple[bytes, ...], gray: bool):
+    """Jitted device program: image -> per-component zigzag coeff planes."""
+    qts = [np.frombuffer(q, dtype=np.uint16) for q in qt_bytes]
+    if gray:
+        factors = ((1, 1),)
+    else:
+        factors = _SAMPLING[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    pad_w, pad_h = mcus_x * 8 * hmax, mcus_y * 8 * vmax
+
+    def stage(img):
+        if gray:
+            plane = img.astype(jnp.float32) if img.ndim == 2 else (
+                fdct_ops.rgb_to_ycbcr(img)[0]
+            )
+            chans = [fdct_ops.pad_edge(plane, pad_h, pad_w)]
+        else:
+            y, cb, cr = fdct_ops.rgb_to_ycbcr(img)
+            chans = [fdct_ops.pad_edge(c, pad_h, pad_w) for c in (y, cb, cr)]
+        out = []
+        for ci, (fh, fv) in enumerate(factors):
+            sub = fdct_ops.box_subsample(chans[ci], hmax // fh, vmax // fv)
+            by, bx = mcus_y * fv, mcus_x * fh
+            blocks = fdct_ops.plane_to_blocks(sub, by, bx)
+            qt = qts[0] if ci == 0 else qts[1]
+            zz = fdct_ops.fdct_quantize(blocks, qt)
+            out.append(zz.reshape(by, bx, 64))
+        return out
+
+    return jax.jit(stage), factors, (mcus_x, mcus_y)
+
+
+def _mcu_order(coeffs: list[np.ndarray], factors, mcus_x: int, mcus_y: int):
+    """Flatten per-component [by, bx, 64] planes into MCU-interleaved unit
+    order (spec A.2.3); returns (blocks [n_units_total, 64], per-unit
+    scan-component indices within one MCU, units_per_mcu)."""
+    per_comp = []
+    unit_sci = []
+    for ci, (fh, fv) in enumerate(factors):
+        c = coeffs[ci]  # (mcus_y*fv, mcus_x*fh, 64)
+        # -> (mcus_y, mcus_x, fv, fh, 64) -> (mcu, unit, 64)
+        r = (
+            c.reshape(mcus_y, fv, mcus_x, fh, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(mcus_y * mcus_x, fv * fh, 64)
+        )
+        per_comp.append(r)
+        unit_sci += [ci] * (fv * fh)
+    interleaved = np.concatenate(per_comp, axis=1)  # (mcu, units, 64)
+    units_per_mcu = interleaved.shape[1]
+    return interleaved.reshape(-1, 64), unit_sci, units_per_mcu
+
+
+class JpegEncoder:
+    """Reusable encoder handle (caches the jitted device stage per shape)."""
+
+    def __init__(self, cfg: EncodeConfig | None = None):
+        self.cfg = cfg or EncodeConfig()
+
+    def encode(self, img: np.ndarray) -> bytes:
+        cfg = self.cfg
+        img = np.asarray(img)
+        gray = cfg.subsampling == "gray" or img.ndim == 2
+        if img.ndim == 2:
+            h, w = img.shape
+        elif img.ndim == 3 and img.shape[2] == 3:
+            h, w = img.shape[:2]
+        else:
+            raise JpegConfigError(
+                f"expected [H,W] gray or [H,W,3] RGB, got {img.shape}"
+            )
+        if img.dtype != np.uint8:
+            raise JpegConfigError("input must be uint8")
+
+        qt_l, qt_c = quality_qtables(cfg.quality)
+        qt_bytes = (qt_l.tobytes(), qt_c.tobytes())
+        stage, factors, (mcus_x, mcus_y) = _build_device_stage(
+            h, w, cfg.subsampling, qt_bytes, gray
+        )
+        coeffs = [np.asarray(c) for c in stage(jnp.asarray(img))]
+        blocks, unit_sci, units_per_mcu = _mcu_order(
+            coeffs, factors, mcus_x, mcus_y
+        )
+
+        # --- Huffman tables -------------------------------------------------
+        n_tables = 1 if gray else 2
+        # table index per unit: luma -> 0, chroma -> 1
+        table_of_unit = [
+            (0, 0) if sci == 0 else (n_tables - 1, n_tables - 1)
+            for sci in unit_sci
+        ]
+        mcu_blocks = [(unit_sci[i % units_per_mcu], blocks[i])
+                      for i in range(blocks.shape[0])]
+
+        if cfg.huffman == "optimized":
+            freq_dc, freq_ac = entropy_encode.count_symbols(
+                mcu_blocks, n_tables, n_tables, table_of_unit, units_per_mcu,
+                cfg.restart_interval,
+            )
+            dc_specs = [
+                dataclasses.replace(
+                    huffman.optimal_code_lengths(freq_dc[t]),
+                    table_class=0, table_id=t,
+                )
+                for t in range(n_tables)
+            ]
+            ac_specs = [
+                dataclasses.replace(
+                    huffman.optimal_code_lengths(freq_ac[t]),
+                    table_class=1, table_id=t,
+                )
+                for t in range(n_tables)
+            ]
+        else:
+            dc_specs = [huffman.annex_k_dc_luminance()]
+            ac_specs = [huffman.annex_k_ac_luminance()]
+            if not gray:
+                dc_specs.append(huffman.annex_k_dc_chrominance())
+                ac_specs.append(huffman.annex_k_ac_chrominance())
+
+        dc_tables = [huffman.build_encode_table(s) for s in dc_specs]
+        ac_tables = [huffman.build_encode_table(s) for s in ac_specs]
+
+        entropy = entropy_encode.encode_blocks(
+            mcu_blocks, dc_tables, ac_tables, table_of_unit, units_per_mcu,
+            cfg.restart_interval,
+        )
+
+        # --- Assemble the stream (spec B.2) --------------------------------
+        parts = [writer.soi(), writer.app0_jfif()]
+        parts.append(writer.dqt(0, qt_l))
+        if not gray:
+            parts.append(writer.dqt(1, qt_c))
+        if gray:
+            sof_comps = [(1, 1, 1, 0)]
+            sos_comps = [(1, 0, 0)]
+        else:
+            sof_comps = [
+                (1, factors[0][0], factors[0][1], 0),
+                (2, 1, 1, 1),
+                (3, 1, 1, 1),
+            ]
+            sos_comps = [(1, 0, 0), (2, n_tables - 1, n_tables - 1),
+                         (3, n_tables - 1, n_tables - 1)]
+        parts.append(writer.sof(w, h, sof_comps))
+        for s in dc_specs + ac_specs:
+            parts.append(writer.dht(s))
+        if cfg.restart_interval:
+            parts.append(writer.dri(cfg.restart_interval))
+        parts.append(writer.sos(sos_comps))
+        parts.append(entropy)
+        parts.append(writer.eoi())
+        return b"".join(parts)
+
+
+def encode(img: np.ndarray, cfg: EncodeConfig | None = None) -> bytes:
+    """Encode an RGB/grayscale uint8 array to baseline JPEG bytes."""
+    return JpegEncoder(cfg).encode(img)

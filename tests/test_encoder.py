@@ -1,0 +1,132 @@
+"""Encoder tests: round-trip properties through our decoder and Pillow.
+
+The reference encoder is non-functional (SURVEY.md §2), so the contracts
+here are spec-level: streams parse, decode bit-consistently through the
+coefficient IR, and reconstruct the input within quantization error.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpeg_decoder_tpu.core import oracle
+from jpeg_decoder_tpu.models import decoder, encoder
+from jpeg_decoder_tpu.utils.config import DecodeConfig, EncodeConfig, EntropyBackend, Quirks
+
+CFG_DEC = DecodeConfig(
+    entropy_backend=EntropyBackend.ORACLE, quirks=Quirks.CORRECT
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse) if mse else np.inf
+
+
+def _smooth_rgb(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(128, 40, (h // 8 + 2, w // 8 + 2, 3))
+    img = np.array(
+        Image.fromarray(
+            np.clip(base, 0, 255).astype(np.uint8), "RGB"
+        ).resize((w, h), Image.BILINEAR)
+    )
+    return img
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_roundtrip_our_decoder(sub):
+    img = _smooth_rgb(64, 80)
+    data = encoder.encode(img, EncodeConfig(quality=90, subsampling=sub))
+    out = decoder.decode(data, CFG_DEC).rgb
+    assert out.shape == img.shape
+    assert _psnr(out, img) > (33 if sub == "420" else 35)
+
+
+def test_roundtrip_pillow_decodes_it():
+    img = _smooth_rgb(56, 72)
+    data = encoder.encode(img, EncodeConfig(quality=92, subsampling="444"))
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert pil.shape == img.shape
+    assert _psnr(pil, img) > 35
+
+
+def test_roundtrip_gray():
+    rng = np.random.default_rng(5)
+    img = rng.integers(100, 156, (41, 57), dtype=np.uint8)
+    data = encoder.encode(img, EncodeConfig(quality=95, subsampling="gray"))
+    out = decoder.decode(data, CFG_DEC)
+    assert out.rgb.shape == (41, 57, 3)
+    assert _psnr(out.rgb[..., 0], img) > 30
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+    assert _psnr(pil, img) > 30
+
+
+def test_restart_markers_roundtrip():
+    img = _smooth_rgb(64, 64, seed=9)
+    plain = encoder.encode(img, EncodeConfig(quality=85, subsampling="420"))
+    with_rst = encoder.encode(
+        img, EncodeConfig(quality=85, subsampling="420", restart_interval=2)
+    )
+    a = decoder.decode(plain, CFG_DEC).rgb
+    b = decoder.decode(with_rst, CFG_DEC).rgb
+    # Restart markers change framing only, not decoded pixels.
+    np.testing.assert_array_equal(a, b)
+    # Pillow agrees on the restart stream too.
+    pil = np.asarray(Image.open(io.BytesIO(with_rst)).convert("RGB"))
+    np.testing.assert_array_equal(pil.shape, a.shape)
+
+
+def test_optimized_huffman_smaller_and_equal():
+    img = _smooth_rgb(96, 96, seed=21)
+    annex = encoder.encode(img, EncodeConfig(quality=85, huffman="annex_k"))
+    opt = encoder.encode(img, EncodeConfig(quality=85, huffman="optimized"))
+    assert len(opt) < len(annex)
+    a = decoder.decode(annex, CFG_DEC).rgb
+    b = decoder.decode(opt, CFG_DEC).rgb
+    # Same coefficients, different entropy coding -> identical pixels.
+    np.testing.assert_array_equal(a, b)
+
+
+def test_coefficient_exact_roundtrip():
+    """Entropy coding is lossless: encode -> entropy-decode returns the
+    exact quantized coefficients the device FDCT produced."""
+    from jpeg_decoder_tpu.io.parser import parse
+    from jpeg_decoder_tpu.core.types import CoefficientPlanes
+
+    img = _smooth_rgb(48, 48, seed=33)
+    cfg = EncodeConfig(quality=80, subsampling="420")
+    data = encoder.encode(img, cfg)
+    s = parse(data)
+    planes = CoefficientPlanes(s.frame)
+    oracle.decode_sequential_scan(s, s.scans[0], planes)
+
+    # Recompute what the encoder's device stage emitted.
+    import jax.numpy as jnp
+
+    qt_l, qt_c = encoder.quality_qtables(cfg.quality)
+    stage, factors, (mx, my) = encoder._build_device_stage(
+        48, 48, "420", (qt_l.tobytes(), qt_c.tobytes()), False
+    )
+    want = [np.asarray(c) for c in stage(jnp.asarray(img))]
+    for ci in range(3):
+        np.testing.assert_array_equal(planes.plane(ci), want[ci])
+
+
+def test_quality_ladder_monotone_size():
+    img = _smooth_rgb(64, 64, seed=4)
+    sizes = [
+        len(encoder.encode(img, EncodeConfig(quality=q))) for q in (10, 50, 90)
+    ]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_encode_odd_dimensions():
+    img = _smooth_rgb(33, 47, seed=8)
+    data = encoder.encode(img, EncodeConfig(quality=90, subsampling="420"))
+    out = decoder.decode(data, CFG_DEC).rgb
+    assert out.shape == (33, 47, 3)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert pil.shape == (33, 47, 3)
