@@ -57,12 +57,13 @@ def _stage_key(frame: FrameHeader, qt_by_comp: tuple[bytes, ...], cfg: DecodeCon
 
 
 @functools.lru_cache(maxsize=256)
-def _build_device_stage(key):
-    """Build + jit the device program for one geometry/table/config combo.
+def build_stage_raw(key):
+    """Build the UN-jitted device program for one geometry/table/config
+    combo — the composable form consumed by jit here, by vmap in
+    parallel/batch.py, and by shard_map in parallel/stripes.py.
 
     Takes the hashable key from _stage_key; returns a function
-    stage(*coeff_planes) -> rgb uint8 [H, W, 3] (or [H, W, 3] replicate for
-    grayscale).
+    stage(*coeff_planes) -> (rgb uint8 [H, W, 3], pixel planes).
     """
     frame, qt_by_comp, precision, quirks, upsample = key
     comps = frame.components
@@ -123,7 +124,12 @@ def _build_device_stage(key):
     else:
         raise ValueError(f"no color transform for {frame.ncs} components")
 
-    return jax.jit(stage)
+    return stage
+
+
+@functools.lru_cache(maxsize=256)
+def _build_device_stage(key):
+    return jax.jit(build_stage_raw(key))
 
 
 def device_stage_for(

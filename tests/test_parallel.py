@@ -1,0 +1,142 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8), validating the mesh /
+batch-DP / stripe-SP layers without TPU hardware (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from jpeg_decoder_tpu.core import oracle
+from jpeg_decoder_tpu.models import decoder, encoder
+from jpeg_decoder_tpu.parallel import batch as batch_mod
+from jpeg_decoder_tpu.parallel import mesh as mesh_mod
+from jpeg_decoder_tpu.parallel import stripes as stripes_mod
+from jpeg_decoder_tpu.utils.config import (
+    DecodeConfig,
+    EncodeConfig,
+    EntropyBackend,
+)
+
+from . import corpus
+
+CFG = DecodeConfig(entropy_backend=EntropyBackend.NUMPY)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return mesh_mod.make_mesh(n_data=8)
+
+
+@pytest.fixture(scope="module")
+def mesh_stripe8():
+    return mesh_mod.make_mesh(n_data=1, n_stripe=8)
+
+
+class TestBatch:
+    def test_batch_matches_single(self, mesh8):
+        name, data = corpus.baseline_corpus()[5]  # rgb420_q90
+        want = decoder.decode(data, CFG).rgb
+        bd = batch_mod.BatchDecoder(CFG, mesh8)
+        got = bd.decode_batch([data] * 5)  # 5 % 8 != 0: exercises padding
+        assert got.shape == (5,) + want.shape
+        for i in range(5):
+            np.testing.assert_array_equal(got[i], want)
+
+    def test_batch_distinct_images(self, mesh8):
+        rng = np.random.default_rng(17)
+        datas = []
+        for i in range(8):
+            img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+            datas.append(encoder.encode(img, EncodeConfig(quality=85)))
+        bd = batch_mod.BatchDecoder(CFG, mesh8)
+        got = bd.decode_batch(datas)
+        for i, d in enumerate(datas):
+            np.testing.assert_array_equal(got[i], decoder.decode(d, CFG).rgb)
+
+    def test_batch_no_mesh(self):
+        name, data = corpus.baseline_corpus()[0]
+        want = decoder.decode(data, CFG).rgb
+        got = batch_mod.decode_batch([data, data], CFG, mesh=None)
+        np.testing.assert_array_equal(got[0], want)
+
+    def test_decode_many_mixed_geometries(self, mesh8):
+        rng = np.random.default_rng(3)
+        small = encoder.encode(
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+            EncodeConfig(quality=85),
+        )
+        big = encoder.encode(
+            rng.integers(0, 256, (64, 48, 3), dtype=np.uint8),
+            EncodeConfig(quality=85),
+        )
+        bd = batch_mod.BatchDecoder(CFG, mesh8)
+        out = bd.decode_many([small, big, small])
+        assert out[0].shape == (32, 32, 3)
+        assert out[1].shape == (64, 48, 3)
+        np.testing.assert_array_equal(out[0], out[2])
+
+    def test_batch_rejects_mixed(self, mesh8):
+        from jpeg_decoder_tpu.utils.errors import JpegFormatError
+
+        a = corpus.baseline_corpus()[0][1]
+        b = corpus.baseline_corpus()[3][1]
+        bd = batch_mod.BatchDecoder(CFG, mesh8)
+        with pytest.raises(JpegFormatError):
+            bd.decode_batch([a, b])
+
+
+class TestStripes:
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    def test_striped_matches_single(self, mesh_stripe8, sub):
+        rng = np.random.default_rng(41)
+        # 8 stripes need mcus_y % 8 == 0: 420 -> 128 rows, 444 -> 64 rows.
+        h = 128 if sub == "420" else 64
+        img = rng.integers(0, 256, (h, 64, 3), dtype=np.uint8)
+        data = encoder.encode(img, EncodeConfig(quality=88, subsampling=sub))
+        want = decoder.decode(data, CFG).rgb
+        got = stripes_mod.decode_striped(data, CFG, mesh_stripe8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_striped_gray(self, mesh_stripe8):
+        from jpeg_decoder_tpu.utils.config import Quirks
+
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+        data = encoder.encode(img, EncodeConfig(quality=90, subsampling="gray"))
+        cfg = CFG.replace(quirks=Quirks.CORRECT)
+        want = decoder.decode(data, cfg).rgb
+        got = stripes_mod.decode_striped(data, cfg, mesh_stripe8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_striped_fancy_halo_exchange(self, mesh_stripe8):
+        """Fancy upsampling needs the ppermute halo; check stripe output
+        equals the single-device fancy path exactly."""
+        rng = np.random.default_rng(47)
+        img = rng.integers(0, 256, (128, 64, 3), dtype=np.uint8)
+        data = encoder.encode(img, EncodeConfig(quality=88, subsampling="420"))
+        cfg = CFG.replace(upsample="fancy")
+        want = decoder.decode(data, cfg).rgb
+        got = stripes_mod.decode_striped(data, cfg, mesh_stripe8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_striped_rejects_indivisible(self, mesh_stripe8):
+        from jpeg_decoder_tpu.utils.errors import JpegFormatError
+
+        rng = np.random.default_rng(48)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)  # 3 MCU rows
+        data = encoder.encode(img, EncodeConfig(quality=85, subsampling="444"))
+        with pytest.raises(JpegFormatError):
+            stripes_mod.decode_striped(data, CFG, mesh_stripe8)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = mesh_mod.make_mesh(n_data=4, n_stripe=2)
+        assert m.shape[mesh_mod.DATA_AXIS] == 4
+        assert m.shape[mesh_mod.STRIPE_AXIS] == 2
+
+    def test_make_mesh_too_big(self):
+        with pytest.raises(ValueError):
+            mesh_mod.make_mesh(n_data=16, n_stripe=2)
