@@ -1,0 +1,194 @@
+"""Command-line interface: decode / encode / info / bench.
+
+The reference's CLI is `jpeg_decoder <file>` -> SDL2 window
+(/root/reference/src/jpeg_decoder.c:29-141) and a non-compiling encoder
+driver (jpeg_encoder.c). This CLI covers both, file-based (PNG/PPM/NPY out)
+with an optional interactive viewer (--show; uses PIL, SDL-free — this
+engine targets headless TPU hosts).
+
+    python -m jpeg_decoder_tpu.cli decode in.jpg out.png [--backend ...]
+    python -m jpeg_decoder_tpu.cli encode in.png out.jpg [--quality 85]
+    python -m jpeg_decoder_tpu.cli info in.jpg
+    python -m jpeg_decoder_tpu.cli bench in.jpg [--repeat 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .utils.config import DecodeConfig, EncodeConfig, EntropyBackend, IdctPrecision, Quirks
+
+
+def _write_image(path: Path, rgb: np.ndarray) -> None:
+    suffix = path.suffix.lower()
+    if suffix == ".npy":
+        np.save(path, rgb)
+        return
+    if suffix in (".ppm", ".pnm"):
+        with open(path, "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (rgb.shape[1], rgb.shape[0]))
+            f.write(rgb.tobytes())
+        return
+    from PIL import Image
+
+    Image.fromarray(rgb, "RGB").save(path)
+
+
+def _read_image(path: Path) -> np.ndarray:
+    if path.suffix.lower() == ".npy":
+        return np.load(path)
+    from PIL import Image
+
+    im = Image.open(path)
+    if im.mode == "L":
+        return np.asarray(im)
+    return np.asarray(im.convert("RGB"))
+
+
+def _decode_cfg(args) -> DecodeConfig:
+    return DecodeConfig(
+        entropy_backend=EntropyBackend(args.backend),
+        idct_precision=IdctPrecision(args.precision),
+        quirks=Quirks(args.quirks),
+        use_device=not args.no_device,
+        upsample=args.upsample,
+        num_threads=args.threads,
+    )
+
+
+def cmd_decode(args) -> int:
+    cfg = _decode_cfg(args)
+    from .models.decoder import decode
+
+    data = Path(args.input).read_bytes()
+    t0 = time.perf_counter()
+    img = decode(data, cfg)
+    dt = time.perf_counter() - t0
+    if args.out:
+        _write_image(Path(args.out), img.rgb)
+    if args.show:
+        from PIL import Image
+
+        Image.fromarray(img.rgb, "RGB").show()
+    mp = img.width * img.height / 1e6
+    print(
+        f"{img.width}x{img.height} ({mp:.2f} MP) in {dt*1e3:.1f} ms"
+        f" = {mp/dt:.1f} MP/s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_encode(args) -> int:
+    from .models.encoder import encode
+
+    img = _read_image(Path(args.input))
+    cfg = EncodeConfig(
+        quality=args.quality,
+        subsampling="gray" if img.ndim == 2 else args.subsampling,
+        restart_interval=args.restart_interval,
+        huffman="optimized" if args.optimize else "annex_k",
+    )
+    data = encode(img, cfg)
+    Path(args.out).write_bytes(data)
+    print(f"{len(data)} bytes", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .io.parser import parse
+    from .utils.debug import structure_summary
+
+    data = Path(args.input).read_bytes()
+    s = parse(data)
+    if args.json:
+        print(json.dumps(structure_summary(s), indent=2))
+    else:
+        from .utils.debug import print_structure
+
+        print_structure(s)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    cfg = _decode_cfg(args)
+    from .models.decoder import decode
+
+    data = Path(args.input).read_bytes()
+    img = decode(data, cfg)  # warm (compile)
+    times = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        img = decode(data, cfg)
+        times.append(time.perf_counter() - t0)
+    mp = img.width * img.height / 1e6
+    t = float(np.median(times))
+    print(json.dumps({
+        "metric": "cli_decode_throughput",
+        "value": round(mp / t, 2),
+        "unit": "MP/s",
+        "median_ms": round(t * 1e3, 2),
+    }))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="jpeg_decoder_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_decode_opts(sp):
+        sp.add_argument("--backend", default="native",
+                        choices=[e.value for e in EntropyBackend])
+        sp.add_argument("--precision", default="exact",
+                        choices=[e.value for e in IdctPrecision])
+        sp.add_argument("--quirks", default="reference",
+                        choices=[q.value for q in Quirks])
+        sp.add_argument("--upsample", default="nn", choices=["nn", "fancy"])
+        sp.add_argument("--no-device", action="store_true",
+                        help="run the whole pipeline on host")
+        sp.add_argument("--threads", type=int, default=0)
+
+    d = sub.add_parser("decode", help="JPEG -> PNG/PPM/NPY")
+    d.add_argument("input")
+    d.add_argument("out", nargs="?")
+    d.add_argument("--show", action="store_true", help="open a viewer window")
+    add_decode_opts(d)
+    d.set_defaults(fn=cmd_decode)
+
+    e = sub.add_parser("encode", help="PNG/NPY -> JPEG")
+    e.add_argument("input")
+    e.add_argument("out")
+    e.add_argument("--quality", type=int, default=85)
+    e.add_argument("--subsampling", default="420",
+                   choices=["444", "422", "420", "gray"])
+    e.add_argument("--restart-interval", type=int, default=0)
+    e.add_argument("--optimize", action="store_true",
+                   help="two-pass optimized Huffman tables")
+    e.set_defaults(fn=cmd_encode)
+
+    i = sub.add_parser("info", help="dump parsed structure")
+    i.add_argument("input")
+    i.add_argument("--json", action="store_true")
+    i.set_defaults(fn=cmd_info)
+
+    b = sub.add_parser("bench", help="time repeated decodes of one file")
+    b.add_argument("input")
+    b.add_argument("--repeat", type=int, default=5)
+    add_decode_opts(b)
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

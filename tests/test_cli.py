@@ -1,0 +1,89 @@
+"""CLI surface tests (the reference's L7 layer, SURVEY.md §1)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from jpeg_decoder_tpu import cli
+
+from . import corpus
+
+
+@pytest.fixture(scope="module")
+def sample_jpeg(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    p = d / "in.jpg"
+    p.write_bytes(corpus.baseline_corpus()[5][1])  # rgb420_q90, 64x64
+    return p
+
+
+def test_decode_to_ppm(sample_jpeg, tmp_path):
+    out = tmp_path / "out.ppm"
+    rc = cli.main(["decode", str(sample_jpeg), str(out), "--backend", "numpy"])
+    assert rc == 0
+    raw = out.read_bytes()
+    assert raw.startswith(b"P6\n64 64\n255\n")
+    assert len(raw) == len(b"P6\n64 64\n255\n") + 64 * 64 * 3
+
+
+def test_decode_to_png_matches_library(sample_jpeg, tmp_path):
+    from PIL import Image
+
+    from jpeg_decoder_tpu.models.decoder import decode
+    from jpeg_decoder_tpu.utils.config import DecodeConfig, EntropyBackend
+
+    out = tmp_path / "out.png"
+    cli.main(["decode", str(sample_jpeg), str(out), "--backend", "numpy"])
+    png = np.asarray(Image.open(out))
+    want = decode(
+        sample_jpeg.read_bytes(),
+        DecodeConfig(entropy_backend=EntropyBackend.NUMPY),
+    ).rgb
+    np.testing.assert_array_equal(png, want)
+
+
+def test_encode_roundtrip(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    Image.fromarray(img, "RGB").save(src)
+    out = tmp_path / "out.jpg"
+    rc = cli.main(["encode", str(src), str(out), "--quality", "90",
+                   "--subsampling", "444", "--optimize"])
+    assert rc == 0
+    decoded = np.asarray(Image.open(out).convert("RGB"))
+    assert decoded.shape == (40, 56, 3)
+
+
+def test_info_json(sample_jpeg, capsys):
+    rc = cli.main(["info", str(sample_jpeg), "--json"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["width"] == 64 and info["height"] == 64
+    assert info["components"][0]["sampling"] == [2, 2]
+    assert info["scans"][0]["tables"]["quant"] == [0, 1]
+
+
+def test_info_text(sample_jpeg, capsys):
+    rc = cli.main(["info", str(sample_jpeg)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "BASELINE" in out and "64x64" in out
+
+
+def test_cli_module_invocation(sample_jpeg, tmp_path):
+    out = tmp_path / "m.ppm"
+    r = subprocess.run(
+        [sys.executable, "-m", "jpeg_decoder_tpu.cli", "decode",
+         str(sample_jpeg), str(out), "--backend", "numpy", "--no-device"],
+        capture_output=True, text=True, cwd=Path(__file__).parent.parent,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    assert out.exists()
