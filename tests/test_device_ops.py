@@ -257,3 +257,36 @@ class TestColor:
         assert got.shape == (32, 32)
         # Interpolated values stay within the local min/max envelope.
         assert got.min() >= plane.min() and got.max() <= plane.max()
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+class TestPallasIdct:
+    def test_matches_matmul_path(self, rng):
+        from jpeg_decoder_tpu.ops import pallas_kernels
+
+        qt = standard_luminance_qtable()
+        blocks = _random_blocks(rng, 1111)  # odd count: exercises padding
+        want = np.asarray(
+            idct_ops.idct_blocks(jnp.asarray(blocks), qt, IdctPrecision.FLOAT32)
+        )
+        got = np.asarray(
+            pallas_kernels.idct_pallas(jnp.asarray(blocks), qt, interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_within_1lsb_of_exact(self, rng):
+        from jpeg_decoder_tpu.ops import pallas_kernels
+
+        qt = standard_luminance_qtable()
+        blocks = _random_blocks(rng, 512)
+        exact = np.asarray(
+            idct_ops.idct_blocks(jnp.asarray(blocks), qt, IdctPrecision.EXACT)
+        ).astype(np.int32)
+        got = np.asarray(
+            pallas_kernels.idct_pallas(jnp.asarray(blocks), qt, interpret=True)
+        ).astype(np.int32)
+        assert np.abs(got - exact).max() <= 1

@@ -1,0 +1,65 @@
+"""On-device (lane-per-segment) entropy decoder tests vs the oracle."""
+
+import numpy as np
+import pytest
+
+from jpeg_decoder_tpu.core import oracle
+from jpeg_decoder_tpu.core.types import CoefficientPlanes
+from jpeg_decoder_tpu.io.parser import parse
+from jpeg_decoder_tpu.ops import entropy_device
+from jpeg_decoder_tpu.models import decoder
+from jpeg_decoder_tpu.utils.config import DecodeConfig, EntropyBackend
+
+from . import corpus
+
+CFG = DecodeConfig(entropy_backend=EntropyBackend.DEVICE)
+
+
+def _oracle_planes(data):
+    s = parse(data)
+    planes = CoefficientPlanes(s.frame)
+    for scan in s.scans:
+        oracle.decode_sequential_scan(s, scan, planes)
+    return s, planes
+
+
+@pytest.mark.parametrize(
+    "name,data", corpus.baseline_corpus()[:8],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_device_entropy_matches_oracle(name, data):
+    s, want = _oracle_planes(data)
+    got, _ = entropy_device.entropy_decode(s, CFG)
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+@pytest.mark.parametrize(
+    "name,dri,plain", corpus.dri_corpus(),
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_device_entropy_multilane(name, dri, plain):
+    """Restart streams: many lanes decode concurrently in the lockstep loop."""
+    s, want = _oracle_planes(dri)
+    assert s.scans[0].span.num_segments > 1
+    got, _ = entropy_device.entropy_decode(s, CFG)
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+def test_device_backend_full_pipeline():
+    name, dri, plain = corpus.dri_corpus()[0]
+    want = decoder.decode(
+        dri, DecodeConfig(entropy_backend=EntropyBackend.ORACLE)
+    ).rgb
+    got = decoder.decode(dri, CFG).rgb
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_backend_rejects_progressive():
+    from jpeg_decoder_tpu.utils.errors import JpegUnsupportedError
+
+    name, data = corpus.progressive_corpus()[0]
+    s = parse(data)
+    with pytest.raises(JpegUnsupportedError):
+        entropy_device.entropy_decode(s, CFG)
