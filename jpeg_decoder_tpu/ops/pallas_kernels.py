@@ -53,7 +53,15 @@ def _blockdiag_matrix() -> np.ndarray:
 
 def _kernel(x_ref, qt_ref, m_ref, out_ref):
     x = x_ref[:].astype(F32) * qt_ref[:]
-    y = jnp.dot(x, m_ref[:], preferred_element_type=F32)
+    # HIGHEST precision: without it the MXU runs bf16 passes and the
+    # dequantized coefficients (up to ~2^19) lose low bits (seen as errors
+    # up to 229 LSB on hardware).
+    y = jax.lax.dot_general(
+        x, m_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=F32,
+    )
     q = jnp.clip(jnp.floor(y) + F32(128.0), 0.0, 255.0)
     # Mosaic has no direct f32->u8 cast; go through i32 (value is in range).
     out_ref[:] = q.astype(jnp.int32).astype(jnp.uint8)
