@@ -119,6 +119,29 @@ class JpegEncoder:
     def __init__(self, cfg: EncodeConfig | None = None):
         self.cfg = cfg or EncodeConfig()
 
+    @staticmethod
+    def _pack(blocks, mcu_blocks, dc_tables, ac_tables, table_of_unit,
+              unit_sci, units_per_mcu, cfg):
+        """Entropy pack: native C++ (segment-parallel) with Python fallback
+        (byte-identical; tested in test_encoder.py)."""
+        from ..native import runtime as native_runtime
+
+        if native_runtime.available():
+            try:
+                return native_runtime.encode_scan_native(
+                    blocks,
+                    np.asarray(unit_sci, dtype=np.int32),
+                    np.asarray([t[0] for t in table_of_unit], dtype=np.int32),
+                    np.asarray([t[1] for t in table_of_unit], dtype=np.int32),
+                    dc_tables, ac_tables, cfg.restart_interval,
+                )
+            except (RuntimeError, ValueError):
+                pass  # fall through to the Python packer
+        return entropy_encode.encode_blocks(
+            mcu_blocks, dc_tables, ac_tables, table_of_unit, units_per_mcu,
+            cfg.restart_interval,
+        )
+
     def encode(self, img: np.ndarray) -> bytes:
         cfg = self.cfg
         img = np.asarray(img)
@@ -183,9 +206,9 @@ class JpegEncoder:
         dc_tables = [huffman.build_encode_table(s) for s in dc_specs]
         ac_tables = [huffman.build_encode_table(s) for s in ac_specs]
 
-        entropy = entropy_encode.encode_blocks(
-            mcu_blocks, dc_tables, ac_tables, table_of_unit, units_per_mcu,
-            cfg.restart_interval,
+        entropy = self._pack(
+            blocks, mcu_blocks, dc_tables, ac_tables, table_of_unit,
+            unit_sci, units_per_mcu, cfg,
         )
 
         # --- Assemble the stream (spec B.2) --------------------------------

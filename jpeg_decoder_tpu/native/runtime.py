@@ -74,6 +74,27 @@ def _load():
             + [ctypes.c_int32] * 4               # ss, se, ah, al
             + [ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
         )
+        lib.jdt_encode_scan.restype = ctypes.c_int32
+        lib.jdt_encode_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),      # blocks
+            ctypes.c_int64,                      # total_units
+            ctypes.c_int32,                      # units_per_mcu
+            ctypes.POINTER(ctypes.c_int32),      # unit_sci
+            ctypes.POINTER(ctypes.c_int32),      # unit_dc
+            ctypes.POINTER(ctypes.c_int32),      # unit_ac
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),  # dc_codes
+            ctypes.POINTER(u8p),                 # dc_sizes
+            ctypes.c_int32,                      # n_dc
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),  # ac_codes
+            ctypes.POINTER(u8p),                 # ac_sizes
+            ctypes.c_int32,                      # n_ac
+            ctypes.c_int64,                      # ri
+            ctypes.c_int32,                      # n_threads
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),   # out
+            ctypes.POINTER(ctypes.c_int64),      # out_len
+        ]
+        lib.jdt_free.restype = None
+        lib.jdt_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         if lib.jdt_version() != 1:
             log.error("native runtime ABI mismatch")
             return None
@@ -245,6 +266,80 @@ def decode_scan_native(
             f" (segment {err[0]}, mcu {err[1]})",
             mcu=int(err[1]),
         )
+
+
+def encode_scan_native(
+    blocks: np.ndarray,
+    unit_sci: np.ndarray,
+    unit_dc: np.ndarray,
+    unit_ac: np.ndarray,
+    dc_tables,
+    ac_tables,
+    restart_interval: int = 0,
+    num_threads: int = 0,
+) -> bytes:
+    """Pack one scan's entropy data via the C++ runtime.
+
+    blocks: [total_units, 64] int32 zigzag in MCU order; unit_* arrays give
+    per-unit-in-MCU scan-component and table indices; dc/ac_tables are
+    core.huffman.EncodeTable lists. Mirrors core/entropy_encode.encode_blocks
+    (tested byte-identical)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    unit_sci = np.ascontiguousarray(unit_sci, dtype=np.int32)
+    unit_dc = np.ascontiguousarray(unit_dc, dtype=np.int32)
+    unit_ac = np.ascontiguousarray(unit_ac, dtype=np.int32)
+
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    # EncodeTable arrays are contiguous; `keepalive` pins any copies that
+    # ascontiguousarray makes for the duration of the call.
+    keepalive = [
+        (np.ascontiguousarray(t.code, dtype=np.uint16),
+         np.ascontiguousarray(t.size, dtype=np.uint8))
+        for t in list(dc_tables) + list(ac_tables)
+    ]
+    n_dc = len(dc_tables)
+    dc_codes = (u16p * n_dc)(
+        *[keepalive[i][0].ctypes.data_as(u16p) for i in range(n_dc)]
+    )
+    dc_sizes = (u8p * n_dc)(
+        *[keepalive[i][1].ctypes.data_as(u8p) for i in range(n_dc)]
+    )
+    ac_codes = (u16p * len(ac_tables))(
+        *[keepalive[n_dc + i][0].ctypes.data_as(u16p)
+          for i in range(len(ac_tables))]
+    )
+    ac_sizes = (u8p * len(ac_tables))(
+        *[keepalive[n_dc + i][1].ctypes.data_as(u8p)
+          for i in range(len(ac_tables))]
+    )
+
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64(0)
+    rc = lib.jdt_encode_scan(
+        blocks.ctypes.data_as(i32p),
+        blocks.shape[0],
+        unit_sci.shape[0],
+        unit_sci.ctypes.data_as(i32p),
+        unit_dc.ctypes.data_as(i32p),
+        unit_ac.ctypes.data_as(i32p),
+        dc_codes, dc_sizes, len(dc_tables),
+        ac_codes, ac_sizes, len(ac_tables),
+        restart_interval,
+        num_threads,
+        ctypes.byref(out_ptr),
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise ValueError(f"native entropy encode failed (status {rc})")
+    try:
+        return ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.jdt_free(out_ptr)
 
 
 def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):

@@ -16,12 +16,23 @@ batch of blocks, expressed to map straight onto the TPU:
     for MXU occupancy.
 
 Numerics match ops/idct.idct_matmul (the FLOAT32 contract: within +/-1 LSB
-of the bit-exact EXACT path). The EXACT double-float path stays on the XLA
+of the bit-exact EXACT path; on hardware the two differ by <=1 LSB from
+accumulation order). The EXACT double-float path stays on the XLA
 elementwise pipeline (ops/idct.idct_exact) — it has no matmul to win back
 and XLA already fuses it fully.
 
 On non-TPU backends the kernel runs in interpreter mode (tests exercise it
 on the CPU mesh; the driver benches it on hardware).
+
+Measured on TPU v5e (batch-slope method, this op is ~1% of pipeline time
+either way — host entropy decode is the bottleneck):
+    XLA matmul path : 0.67 ms / 1M blocks  (~95 GP/s)
+    this kernel     : 4.9  ms / 1M blocks  (~13 GP/s)
+    EXACT (df32)    : 28.7 ms / 1M blocks  (~2.2 GP/s)
+XLA's own fusion of dequant+matmul+epilogue beats this hand-written
+schedule (its 6-pass f32 matmul pipelines better), so the XLA path stays
+the default; the kernel is kept as the scheduling baseline and the
+foundation for a future int8/bf16-input variant.
 """
 
 from __future__ import annotations

@@ -130,3 +130,37 @@ def test_encode_odd_dimensions():
     assert out.shape == (33, 47, 3)
     pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     assert pil.shape == (33, 47, 3)
+
+
+def test_native_packer_byte_identical_to_python():
+    from jpeg_decoder_tpu.native import runtime as nr
+    from jpeg_decoder_tpu.core import entropy_encode, huffman
+
+    if not nr.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(77)
+    n = 24  # 4 MCUs x 6 units (420 layout)
+    blocks = np.zeros((n, 64), dtype=np.int32)
+    blocks[:, 0] = rng.integers(-800, 800, n)
+    for i in range(n):
+        pos = rng.choice(np.arange(1, 64), 12, replace=False)
+        blocks[i, pos] = rng.integers(-300, 300, 12)
+    unit_sci = [0, 0, 0, 0, 1, 2]
+    table_of_unit = [(0, 0)] * 4 + [(1, 1)] * 2
+    dc_specs = [huffman.annex_k_dc_luminance(), huffman.annex_k_dc_chrominance()]
+    ac_specs = [huffman.annex_k_ac_luminance(), huffman.annex_k_ac_chrominance()]
+    dc_t = [huffman.build_encode_table(s) for s in dc_specs]
+    ac_t = [huffman.build_encode_table(s) for s in ac_specs]
+    mcu_blocks = [(unit_sci[i % 6], blocks[i]) for i in range(n)]
+    for ri in (0, 2):
+        want = entropy_encode.encode_blocks(
+            mcu_blocks, dc_t, ac_t, table_of_unit, 6, ri
+        )
+        got = nr.encode_scan_native(
+            blocks,
+            np.asarray(unit_sci, dtype=np.int32),
+            np.asarray([t[0] for t in table_of_unit], dtype=np.int32),
+            np.asarray([t[1] for t in table_of_unit], dtype=np.int32),
+            dc_t, ac_t, ri,
+        )
+        assert got == want, f"ri={ri}: native pack differs"
