@@ -398,6 +398,11 @@ def pixels_from_coeffs(
     quant_tables: qtid -> (64,) natural-order table values."""
     out = []
     bits12 = frame.precision == 12
+    for c in frame.components:
+        if c.qtid not in quant_tables:
+            raise JpegFormatError(
+                f"component {c.id} references undefined quant table {c.qtid}"
+            )
     for ci, c in enumerate(frame.components):
         zz = planes.plane(ci)  # (by, bx, 64)
         by, bx, _ = zz.shape

@@ -108,7 +108,9 @@ class FrameHeader:
         for i, c in enumerate(self.components):
             if c.id == comp_id:
                 return i, c
-        raise KeyError(f"no frame component with id {comp_id}")
+        from ..utils.errors import JpegFormatError
+
+        raise JpegFormatError(f"no frame component with id {comp_id}")
 
     def with_height(self, height: int) -> "FrameHeader":
         """DNL redefines Y (frame_header.c:60-75); component dims re-derive."""

@@ -136,6 +136,13 @@ def device_stage_for(
     frame: FrameHeader, qtid_tables: dict[int, np.ndarray], cfg: DecodeConfig
 ):
     """Resolve per-component quant tables and return the cached jitted stage."""
+    from ..utils.errors import JpegFormatError
+
+    for c in frame.components:
+        if c.qtid not in qtid_tables:
+            raise JpegFormatError(
+                f"component {c.id} references undefined quant table {c.qtid}"
+            )
     qt_by_comp = tuple(
         np.ascontiguousarray(qtid_tables[c.qtid], dtype=np.uint16).tobytes()
         for c in frame.components

@@ -1,0 +1,86 @@
+"""Fault-injection / fuzz tests: malformed input must produce structured
+errors or a best-effort image — never a crash, hang, or silent exit.
+
+The reference's failure modes under corruption are live memory errors (no
+bounds checks anywhere, bitstream.c:10 — it segfaults on some DRI streams,
+see test_reference_parity notes) and silent exit(1)s (decode.c:861,868).
+This engine's contract: every byte stream either decodes or raises
+JpegError, on every backend.
+"""
+
+import numpy as np
+import pytest
+
+from jpeg_decoder_tpu.models import decoder
+from jpeg_decoder_tpu.utils.config import DecodeConfig, EntropyBackend
+from jpeg_decoder_tpu.utils.errors import JpegError
+
+from . import corpus
+
+BACKENDS = [
+    EntropyBackend.ORACLE,
+    EntropyBackend.NUMPY,
+    EntropyBackend.NATIVE,
+]
+
+
+def _try_decode(data, backend):
+    cfg = DecodeConfig(entropy_backend=backend, use_device=False)
+    try:
+        img = decoder.decode(data, cfg)
+        assert img.rgb is None or img.rgb.dtype == np.uint8
+    except JpegError:
+        pass  # structured failure is fine
+    except (OverflowError, IndexError, ValueError, ZeroDivisionError) as e:
+        pytest.fail(f"unstructured {type(e).__name__}: {e}")
+
+
+@pytest.mark.parametrize("backend", BACKENDS, ids=lambda b: b.value)
+def test_truncation_ladder(backend):
+    name, data = corpus.baseline_corpus()[5]
+    for frac in (0.05, 0.3, 0.6, 0.9, 0.99):
+        _try_decode(data[: int(len(data) * frac)], backend)
+
+
+@pytest.mark.parametrize("backend", BACKENDS, ids=lambda b: b.value)
+def test_random_byte_corruption(backend):
+    rng = np.random.default_rng(1)
+    name, data = corpus.baseline_corpus()[6]
+    for _ in range(25):
+        bad = bytearray(data)
+        for _k in range(rng.integers(1, 8)):
+            bad[rng.integers(2, len(bad))] = rng.integers(0, 256)
+        _try_decode(bytes(bad), backend)
+
+
+@pytest.mark.parametrize("backend", BACKENDS, ids=lambda b: b.value)
+def test_random_bit_flips_in_entropy_data(backend):
+    rng = np.random.default_rng(2)
+    name, data = corpus.dri_corpus()[0][1], corpus.dri_corpus()[0][1]
+    data = corpus.dri_corpus()[0][1]
+    from jpeg_decoder_tpu.io.parser import parse
+
+    s = parse(data)
+    span = s.scans[0].span
+    for _ in range(25):
+        bad = bytearray(data)
+        pos = rng.integers(span.start, span.end)
+        bad[pos] ^= 1 << rng.integers(0, 8)
+        _try_decode(bytes(bad), backend)
+
+
+def test_garbage_and_empty_inputs():
+    rng = np.random.default_rng(3)
+    for data in (b"", b"\x00", b"\xff\xd8", b"\xff\xd8\xff\xd9",
+                 bytes(rng.integers(0, 256, 1000, dtype=np.uint8).tobytes())):
+        _try_decode(data, EntropyBackend.NUMPY)
+
+
+def test_progressive_corruption():
+    rng = np.random.default_rng(4)
+    name, data = corpus.progressive_corpus()[3]
+    for _ in range(15):
+        bad = bytearray(data)
+        for _k in range(3):
+            bad[rng.integers(2, len(bad))] = rng.integers(0, 256)
+        _try_decode(bytes(bad), EntropyBackend.NATIVE)
