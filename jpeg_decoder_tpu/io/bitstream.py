@@ -77,6 +77,27 @@ def find_restart_markers(data: np.ndarray, start: int, end: int) -> np.ndarray:
     return np.flatnonzero(ff).astype(np.int64) + start
 
 
+def scan_entropy_span(data: np.ndarray, start: int) -> tuple[int, np.ndarray]:
+    """One combined pass over a scan's bytes: returns (end, rst_offsets) —
+    what entropy_span_end + find_restart_markers compute in two passes.
+    The classifier: a 0xFF is stuffing (next == 0x00), an in-scan restart
+    marker (0xD0-0xD7), or the scan terminator (anything else / EOF)."""
+    n = data.shape[0]
+    if start >= n:
+        raise JpegTruncatedError("scan starts past end of stream", offset=start)
+    ff = np.flatnonzero(data[start:] == 0xFF)
+    if ff.size == 0:
+        return n, np.empty(0, dtype=np.int64)
+    nxt = data[start:][np.minimum(ff + 1, n - start - 1)]
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    is_term = ~((nxt == 0x00) | is_rst)
+    is_term |= (ff + 1) >= (n - start)
+    hits = np.flatnonzero(is_term)
+    end_rel = int(ff[hits[0]]) if hits.size else n - start
+    rst = ff[is_rst & (ff < end_rel)].astype(np.int64) + start
+    return start + end_rel, rst
+
+
 def unstuff(data: np.ndarray, start: int, end: int) -> tuple[np.ndarray, np.ndarray]:
     """Remove stuffed 0x00 bytes after 0xFF within [start, end).
 

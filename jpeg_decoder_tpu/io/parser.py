@@ -285,8 +285,7 @@ def parse(
             if not quant_tables:
                 # Reference refuses to decode a scan without DQT (decode.c:321-326).
                 raise JpegFormatError("SOS with no quantization tables defined")
-            entropy_end = bs.entropy_span_end(data, entropy_start)
-            rst = bs.find_restart_markers(data, entropy_start, entropy_end)
+            entropy_end, rst = bs.scan_entropy_span(data, entropy_start)
             span = EntropySpan(
                 start=entropy_start, end=entropy_end, restart_offsets=rst
             )

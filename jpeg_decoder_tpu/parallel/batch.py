@@ -75,7 +75,42 @@ class BatchDecoder:
             return np.zeros((0, 0, 0, 3), dtype=np.uint8)
         structures = [parse(d, self.cfg) for d in datas]
         results = self._entropy_many(structures)
+        with metrics.timer("device_batch", items=len(datas)):
+            return self._device_batch(datas, structures, results)
 
+    def decode_stream(self, datas, batch_size: int | None = None):
+        """Pipelined streaming decode: yields [B, H, W, 3] arrays per batch.
+
+        While the device runs batch k, host threads already run the
+        parse+entropy stage of batch k+1 — the two pipeline stages overlap
+        in steady state, so sustained throughput approaches the slower
+        stage's rate rather than their sum. Same-geometry inputs assumed
+        (use decode_many for mixed)."""
+        import itertools
+
+        batch_size = batch_size or max(self._n_data, 1) * 2
+        it = iter(datas)
+
+        def host_stage(chunk):
+            structures = [parse(d, self.cfg) for d in chunk]
+            return chunk, structures, self._entropy_many(structures)
+
+        with cf.ThreadPoolExecutor(max_workers=1) as prefetcher:
+            pending = None
+            while True:
+                chunk = list(itertools.islice(it, batch_size))
+                nxt = (
+                    prefetcher.submit(host_stage, chunk) if chunk else None
+                )
+                if pending is not None:
+                    chunk_c, structures, results = pending.result()
+                    yield self._device_batch(chunk_c, structures, results)
+                pending = nxt
+                if pending is None:
+                    return
+
+    def _device_batch(self, datas, structures, results) -> np.ndarray:
+        """Device stage of decode_batch for pre-run host results."""
         keys = set()
         for s, (planes, qts) in zip(structures, results):
             qt_by_comp = tuple(
@@ -85,29 +120,24 @@ class BatchDecoder:
             keys.add(_stage_key(s.frame, qt_by_comp, self.cfg))
         if len(keys) != 1:
             raise JpegFormatError(
-                f"decode_batch needs identical geometry/tables; got {len(keys)}"
-                " distinct signatures (use decode_many for mixed batches)"
+                "decode_stream needs identical geometry/tables across inputs"
             )
         (key,) = keys
         frame = structures[0].frame
-
-        ncs = frame.ncs
         b = len(datas)
-        # Pad the batch to a multiple of the data-axis size (XLA needs even
-        # shards); padded rows repeat the last image and are cropped after.
         n_data = self._n_data
         pad = (-b) % n_data
-        batches = []
-        for ci in range(ncs):
-            arr = np.stack(
-                [results[i][0].plane(ci) for i in range(b)]
-                + [results[b - 1][0].plane(ci)] * pad
+        batches = [
+            jnp.asarray(
+                np.stack(
+                    [results[i][0].plane(ci) for i in range(b)]
+                    + [results[b - 1][0].plane(ci)] * pad
+                )
             )
-            batches.append(jnp.asarray(arr))
-
-        stage = _batched_stage(key, self.mesh, ncs)
-        with metrics.timer("device_batch", items=b):
-            rgb = np.asarray(jax.device_get(stage(*batches)))
+            for ci in range(frame.ncs)
+        ]
+        stage = _batched_stage(key, self.mesh, frame.ncs)
+        rgb = np.asarray(jax.device_get(stage(*batches)))
         return rgb[:b]
 
     def decode_many(self, datas: list[bytes]) -> list[np.ndarray]:

@@ -140,3 +140,24 @@ class TestMesh:
     def test_make_mesh_too_big(self):
         with pytest.raises(ValueError):
             mesh_mod.make_mesh(n_data=16, n_stripe=2)
+
+
+class TestStream:
+    def test_decode_stream_matches_batch(self, mesh8):
+        rng = np.random.default_rng(91)
+        datas = [
+            encoder.encode(
+                rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+                EncodeConfig(quality=85),
+            )
+            for _ in range(20)
+        ]
+        bd = batch_mod.BatchDecoder(CFG, mesh8)
+        want = bd.decode_batch(datas)
+        got = np.concatenate(list(bd.decode_stream(datas, batch_size=6)))
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+    def test_decode_stream_empty(self, mesh8):
+        bd = batch_mod.BatchDecoder(CFG, mesh8)
+        assert list(bd.decode_stream([])) == []
