@@ -68,17 +68,26 @@ struct BitReader {
   }
 
   inline void fill() {
-    // Fast path: bulk-insert 6 clean bytes (no 0xFF, so no unstuffing and
-    // no marker concerns) with one unaligned load — the common case for
+    // Contract: on return, nbits >= 33 — enough for one Huffman code
+    // (<= 16 bits) plus its extend bits (<= 16) without another refill.
+    if (nbits > 32) return;
+    // Fast path: bulk-insert clean bytes (no 0xFF, so no unstuffing and no
+    // marker concerns) with one unaligned load — the common case for
     // high-entropy streams, ~6x fewer iterations than the byte loop.
-    if (nbits <= 16 && p + 8 <= end) {
+    if (p + 8 <= end) {
       uint64_t v;
       std::memcpy(&v, p, 8);
       if (!has_ff6(v)) {
-        uint64_t be = __builtin_bswap64(v) & ~0xFFFFull;  // top 48 bits
-        buf |= be >> nbits;
-        nbits += 48;
-        p += 6;
+        uint64_t be = __builtin_bswap64(v);
+        if (nbits <= 16) {
+          buf |= (be & ~0xFFFFull) >> nbits;  // top 48 bits
+          nbits += 48;
+          p += 6;
+        } else {
+          buf |= (be & ~0xFFFFFFFFull) >> nbits;  // top 32 bits
+          nbits += 32;
+          p += 4;
+        }
         return;
       }
     }
@@ -258,22 +267,22 @@ int decode_segment_sequential(const ScanContext& c, int64_t seg,
   int64_t mcu_hi = c.ri ? std::min<int64_t>(mcu_lo + c.ri, c.total_mcus)
                         : c.total_mcus;
   int32_t preds[4] = {0, 0, 0, 0};
-  int32_t du[64];
+  int32_t scratch[64];  // sink for the rare out-of-plane blocks
 
   for (int64_t m = mcu_lo; m < mcu_hi; m++) {
     for (const UnitLayout& ul : c.units) {
+      int64_t base = m * ul.h + ul.k;
+      int64_t bx = base % ul.wrap;
+      int64_t by = (base / ul.wrap) * ul.v + ul.j;
+      // Decode straight into the plane (no staging buffer / memcpy).
+      int32_t* du = (by < ul.plane_bh && bx < ul.plane_bw)
+                        ? c.planes[ul.plane] + (by * ul.plane_bw + bx) * 64
+                        : scratch;
       int rc = decode_du_sequential(br, c.luts[ul.dc_lut], c.luts[ul.ac_lut],
                                     &preds[ul.scomp], du);
       if (rc != JDT_OK) {
         *err_mcu = m;
         return rc;
-      }
-      int64_t base = m * ul.h + ul.k;
-      int64_t bx = base % ul.wrap;
-      int64_t by = (base / ul.wrap) * ul.v + ul.j;
-      if (by < ul.plane_bh && bx < ul.plane_bw) {
-        std::memcpy(c.planes[ul.plane] + (by * ul.plane_bw + bx) * 64, du,
-                    64 * sizeof(int32_t));
       }
     }
   }
