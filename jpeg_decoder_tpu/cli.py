@@ -82,6 +82,10 @@ def cmd_decode(args) -> int:
         f" = {mp/dt:.1f} MP/s",
         file=sys.stderr,
     )
+    if args.metrics:
+        from .utils.metrics import GLOBAL_METRICS
+
+        print(json.dumps(GLOBAL_METRICS.summary(), indent=2), file=sys.stderr)
     return 0
 
 
@@ -153,6 +157,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--no-device", action="store_true",
                         help="run the whole pipeline on host")
         sp.add_argument("--threads", type=int, default=0)
+        sp.add_argument("--metrics", action="store_true",
+                        help="print per-stage timing summary to stderr")
 
     d = sub.add_parser("decode", help="JPEG -> PNG/PPM/NPY")
     d.add_argument("input")

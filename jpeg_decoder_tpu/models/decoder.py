@@ -217,8 +217,11 @@ def decode_structure(
         return DecodedImage(frame=frame, planes=pixel_planes, rgb=rgb)
 
     stage = device_stage_for(frame, qts, cfg)
-    with metrics.timer("device_stage"):
-        rgb_dev, planes_dev = stage(*[jnp.asarray(p) for p in planes])
+    from ..utils.metrics import device_trace
+
+    with metrics.timer("device_stage", items=frame.width * frame.height):
+        with device_trace("jpegtpu.device_stage", cfg.collect_metrics):
+            rgb_dev, planes_dev = stage(*[jnp.asarray(p) for p in planes])
         rgb = np.asarray(jax.device_get(rgb_dev))
     if isinstance(planes_dev, (list, tuple)):
         host_planes = [np.asarray(jax.device_get(p)) for p in planes_dev]

@@ -64,3 +64,29 @@ def test_dri_parity(name, dri, plain, ref_harness, tmp_path):
         assert np.array_equal(a, b), f"{name} plane {i} differs"
     if ref_rgb is not None:
         assert np.array_equal(ref_rgb, img_dri.rgb), f"{name} rgb differs"
+
+
+@pytest.mark.parametrize(
+    "name,data",
+    baseline_corpus(),
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_full_pipeline_parity(name, data, ref_harness, tmp_path):
+    """The PRODUCTION path (native segment-parallel entropy + device EXACT
+    kernels) byte-equal to the compiled reference — direct, not transitive
+    through the oracle."""
+    from jpeg_decoder_tpu.models import decoder as decoder_mod
+    from jpeg_decoder_tpu.utils.config import EntropyBackend, IdctPrecision
+
+    ref = run_reference(ref_harness, data, tmp_path)
+    assert ref is not None, f"reference crashed on {name}"
+    ref_planes, ref_rgb = ref
+    cfg = CFG.replace(
+        entropy_backend=EntropyBackend.NATIVE,
+        idct_precision=IdctPrecision.EXACT,
+    )
+    img = decoder_mod.decode(data, cfg)
+    for i, (a, b) in enumerate(zip(ref_planes, img.planes)):
+        assert np.array_equal(a, b), f"{name} plane {i} differs"
+    if ref_rgb is not None:
+        assert np.array_equal(ref_rgb, img.rgb), f"{name} rgb differs"
