@@ -143,32 +143,31 @@ inline int32_t extend(int32_t v, int n) {
 
 struct HuffLut {
   // Two-level decode LUT built from the Python-side flat tables:
-  //   lut8  [256]   — codes of length <= 8 keyed by the next 8 bits;
+  //   lut12 [4096]  — codes of length <= 12 keyed by the next 12 bits;
   //                   entry = (len << 8) | symbol, 0 = "go to lut16".
-  //                   512 B: L1-resident, hits on the overwhelming
-  //                   majority of symbols (short codes are the common ones
-  //                   by Huffman construction).
+  //                   8 KB: L1-resident, hits on virtually every symbol
+  //                   (JPEG code lengths concentrate well below 12 bits).
   //   lut16 [65536] — all codes keyed by the next 16 bits; entry likewise,
   //                   len 0 = invalid prefix.
-  std::vector<uint16_t> lut8;
+  std::vector<uint16_t> lut12;
   std::vector<uint16_t> lut16;
 
   void build(const uint8_t* symbol, const uint8_t* length) {
     lut16.resize(65536);
-    lut8.assign(256, 0);
+    lut12.assign(4096, 0);
     for (uint32_t i = 0; i < 65536; i++) {
       lut16[i] = static_cast<uint16_t>((length[i] << 8) | symbol[i]);
     }
-    for (uint32_t i = 0; i < 256; i++) {
-      uint32_t j = i << 8;
+    for (uint32_t i = 0; i < 4096; i++) {
+      uint32_t j = i << 4;
       int len = length[j];
-      if (len != 0 && len <= 8) lut8[i] = lut16[j];
+      if (len != 0 && len <= 12) lut12[i] = lut16[j];
     }
   }
 
   inline int decode(BitReader& br, int32_t* sym) const {
     uint32_t idx = br.peek16();
-    uint32_t e = lut8[idx >> 8];
+    uint32_t e = lut12[idx >> 4];
     if (e == 0) {
       e = lut16[idx];
       if ((e >> 8) == 0) return JDT_ERR_BAD_CODE;
@@ -214,7 +213,7 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
   std::memset(du, 0, 64 * sizeof(int32_t));
   br.fill();
   uint32_t idx = static_cast<uint32_t>(br.buf >> 48);
-  uint32_t e = dc.lut8[idx >> 8];
+  uint32_t e = dc.lut12[idx >> 4];
   if (e == 0) {
     e = dc.lut16[idx];
     if ((e >> 8) == 0) return JDT_ERR_BAD_CODE;
@@ -233,7 +232,7 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
   while (i < 64) {
     br.fill();
     idx = static_cast<uint32_t>(br.buf >> 48);
-    e = ac.lut8[idx >> 8];
+    e = ac.lut12[idx >> 4];
     if (e == 0) {
       e = ac.lut16[idx];
       if ((e >> 8) == 0) return JDT_ERR_BAD_CODE;
