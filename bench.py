@@ -105,7 +105,7 @@ def main() -> None:
     )
     key = decoder_mod._stage_key(frame, qt_by_comp, cfg)
     ncs = frame.ncs
-    big = 8
+    big = 16
 
     def timed_batch(b):
         stg = _batched_stage(key, None, ncs)

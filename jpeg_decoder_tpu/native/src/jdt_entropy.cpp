@@ -151,6 +151,14 @@ struct HuffLut {
   //                   len 0 = invalid prefix.
   std::vector<uint16_t> lut12;
   std::vector<uint16_t> lut16;
+  // vlut [4096] — AC fast path: code AND extend bits resolved by one
+  // 12-bit-keyed lookup (libjpeg-turbo-style). Packed int32 entry:
+  //   [15:0]  coefficient value (int16)
+  //   [21:16] total bits consumed (code + extend)
+  //   [25:22] zero run
+  //   [27:26] kind: 0 = coefficient, 1 = EOB, 2 = ZRL, 3 = slow path
+  std::vector<int32_t> vlut;
+  enum { KIND_COEF = 0, KIND_EOB = 1, KIND_ZRL = 2, KIND_SLOW = 3 };
 
   void build(const uint8_t* symbol, const uint8_t* length) {
     lut16.resize(65536);
@@ -162,6 +170,28 @@ struct HuffLut {
       uint32_t j = i << 4;
       int len = length[j];
       if (len != 0 && len <= 12) lut12[i] = lut16[j];
+    }
+    vlut.assign(4096, KIND_SLOW << 26);
+    for (uint32_t i = 0; i < 4096; i++) {
+      uint32_t j = i << 4;
+      int len = length[j];
+      if (len == 0 || len > 12) continue;
+      int sym = symbol[j];
+      int run = sym >> 4;
+      int size = sym & 0x0F;
+      if (sym == 0x00) {
+        vlut[i] = (KIND_EOB << 26) | (len << 16);
+      } else if (sym == 0xF0) {
+        vlut[i] = (KIND_ZRL << 26) | (len << 16);
+      } else if (len + size <= 12) {
+        int32_t vbits =
+            size ? static_cast<int32_t>((i >> (12 - len - size)) &
+                                        ((1u << size) - 1))
+                 : 0;
+        int32_t value = extend(vbits, size);
+        vlut[i] = (KIND_COEF << 26) | (run << 22) | ((len + size) << 16) |
+                  (value & 0xFFFF);
+      }
     }
   }
 
@@ -231,6 +261,28 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
   int i = 1;
   while (i < 64) {
     br.fill();
+    uint32_t idx12 = static_cast<uint32_t>(br.buf >> 52);
+    int32_t en = ac.vlut[idx12];
+    int kind = (en >> 26) & 3;
+    if (kind == HuffLut::KIND_COEF) {
+      // code + extend resolved by the single lookup
+      i += (en >> 22) & 0x0F;
+      if (i > 63) return JDT_ERR_COEF_RANGE;
+      du[i] = static_cast<int16_t>(en & 0xFFFF);
+      br.consume((en >> 16) & 0x3F);
+      i++;
+      continue;
+    }
+    if (kind == HuffLut::KIND_EOB) {
+      br.consume((en >> 16) & 0x3F);
+      break;
+    }
+    if (kind == HuffLut::KIND_ZRL) {
+      br.consume((en >> 16) & 0x3F);
+      i += 16;
+      continue;
+    }
+    // Slow path: long code or long extend — full 16-bit decode.
     idx = static_cast<uint32_t>(br.buf >> 48);
     e = ac.lut12[idx >> 4];
     if (e == 0) {
