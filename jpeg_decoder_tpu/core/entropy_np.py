@@ -10,8 +10,6 @@ walk. Several times faster than the oracle; the native C++ runtime
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..io import bitstream as bsio

@@ -13,8 +13,7 @@ import struct
 
 import numpy as np
 
-from ..core.types import HuffTableSpec, INV_ZIGZAG, ZIGZAG
-from .markers import Marker
+from ..core.types import HuffTableSpec, ZIGZAG
 
 
 def soi() -> bytes:

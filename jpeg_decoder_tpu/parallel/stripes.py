@@ -29,12 +29,11 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.numerics import _nn_index_f32
-from ..core.types import FrameHeader
 from ..io.parser import parse
 from ..models import decoder as decoder_mod
 from ..ops import color as color_ops
 from ..ops import idct as idct_ops
-from ..utils.config import DecodeConfig, IdctPrecision, Quirks
+from ..utils.config import DecodeConfig, IdctPrecision
 from ..utils.errors import JpegFormatError
 from . import mesh as mesh_mod
 
