@@ -98,6 +98,7 @@ def cmd_encode(args) -> int:
         subsampling="gray" if img.ndim == 2 else args.subsampling,
         restart_interval=args.restart_interval,
         huffman="optimized" if args.optimize else "annex_k",
+        progressive=args.progressive,
     )
     data = encode(img, cfg)
     Path(args.out).write_bytes(data)
@@ -176,6 +177,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--restart-interval", type=int, default=0)
     e.add_argument("--optimize", action="store_true",
                    help="two-pass optimized Huffman tables")
+    e.add_argument("--progressive", action="store_true",
+                   help="progressive (SOF2) spectral-selection output")
     e.set_defaults(fn=cmd_encode)
 
     i = sub.add_parser("info", help="dump parsed structure")

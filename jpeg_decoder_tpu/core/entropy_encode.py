@@ -124,6 +124,106 @@ def _encode_one_block(
     return dc
 
 
+# ---------------------------------------------------------------------------
+# Progressive scans (spectral selection, spec G.2) — encode side.
+# The decoder counterpart is core/oracle._ac_first; the reference has no
+# progressive encoder (or decoder that works).
+# ---------------------------------------------------------------------------
+
+
+def _flush_eobrun(bw: BitWriter | None, freq: np.ndarray | None,
+                  table: EncodeTable | None, eobrun: int) -> int:
+    """Emit (or count) a pending EOB run; returns 0."""
+    while eobrun > 0:
+        chunk = min(eobrun, 32767)
+        r = chunk.bit_length() - 1
+        if bw is not None:
+            _put_code(bw, table, r << 4)
+            if r:
+                bw.put(chunk - (1 << r), r)
+        else:
+            freq[r << 4] += 1
+        eobrun -= chunk
+    return 0
+
+
+def encode_dc_scan(
+    dcs: np.ndarray,
+    unit_sci: list[int],
+    table_of_unit: list[int],
+    dc_tables: list[EncodeTable] | None,
+    freq: list[np.ndarray] | None = None,
+) -> bytes:
+    """Progressive DC scan (ss=0, se=0, ah=0, al=0), interleaved MCU order.
+
+    dcs: [total_units] int32 DC coefficients in MCU order. When `freq` is
+    given, counts symbols instead of emitting."""
+    bw = None if freq is not None else BitWriter()
+    preds = [0] * 4
+    u = len(unit_sci)
+    for i, dc in enumerate(np.asarray(dcs, dtype=np.int64)):
+        sci = unit_sci[i % u]
+        t = table_of_unit[i % u]
+        diff = int(dc) - preds[sci]
+        preds[sci] = int(dc)
+        s = _csize(diff)
+        if bw is not None:
+            _put_code(bw, dc_tables[t], s)
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        else:
+            freq[t][s] += 1
+    return bw.getvalue() if bw is not None else b""
+
+
+def encode_ac_scan(
+    blocks: np.ndarray,
+    ss: int,
+    se: int,
+    ac_table: EncodeTable | None,
+    freq: np.ndarray | None = None,
+) -> bytes:
+    """Progressive AC-first scan (ah=0, al=0) for ONE component,
+    non-interleaved block raster order, with EOB-run coding (G.2.2).
+
+    blocks: [n_blocks, 64] zigzag coefficients."""
+    bw = None if freq is not None else BitWriter()
+    eobrun = 0
+    for zz in blocks:
+        band = zz[ss : se + 1]
+        nz = np.flatnonzero(band)
+        if nz.size == 0:
+            eobrun += 1
+            if eobrun == 32767:
+                eobrun = _flush_eobrun(bw, freq, ac_table, eobrun)
+            continue
+        eobrun = _flush_eobrun(bw, freq, ac_table, eobrun)
+        run = 0
+        last = int(nz[-1])
+        for k in range(last + 1):
+            v = int(band[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                if bw is not None:
+                    _put_code(bw, ac_table, 0xF0)
+                else:
+                    freq[0xF0] += 1
+                run -= 16
+            s = _csize(v)
+            if bw is not None:
+                _put_code(bw, ac_table, (run << 4) | s)
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            else:
+                freq[(run << 4) | s] += 1
+            run = 0
+        if last < se - ss:
+            eobrun += 1  # this block's tail is part of an EOB run
+    _flush_eobrun(bw, freq, ac_table, eobrun)
+    return bw.getvalue() if bw is not None else b""
+
+
 def encode_blocks(
     mcu_blocks: list[tuple[int, np.ndarray]],
     dc_tables: list[EncodeTable],

@@ -163,6 +163,10 @@ class JpegEncoder:
             h, w, cfg.subsampling, qt_bytes, gray
         )
         coeffs = [np.asarray(c) for c in stage(jnp.asarray(img))]
+        if cfg.progressive:
+            return self._assemble_progressive(
+                cfg, h, w, gray, coeffs, factors, (qt_l, qt_c)
+            )
         blocks, unit_sci, units_per_mcu = _mcu_order(
             coeffs, factors, mcus_x, mcus_y
         )
@@ -241,3 +245,93 @@ class JpegEncoder:
 def encode(img: np.ndarray, cfg: EncodeConfig | None = None) -> bytes:
     """Encode an RGB/grayscale uint8 array to baseline JPEG bytes."""
     return JpegEncoder(cfg).encode(img)
+
+
+def _assemble_progressive(self, cfg, h, w, gray, coeffs, factors, qts):
+    """Progressive (SOF2) assembly: spectral-selection scan script — one
+    interleaved DC scan, then a full-band (ss=1..63) AC scan per component
+    (spec G.2; decode counterpart core/oracle.decode_progressive_scan).
+
+    Goes beyond the reference, whose encoder doesn't exist and whose
+    progressive decoder is broken — round-tripped against our decoder and
+    Pillow in tests/test_progressive_encode.py.
+    """
+    from ..core import entropy_encode as ee
+
+    qt_l, qt_c = qts
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    ncs = 1 if gray else 3
+    n_tables = 1 if gray else 2
+
+    # MCU-ordered DC stream + per-unit metadata for the interleaved DC scan.
+    blocks, unit_sci, units_per_mcu = _mcu_order(coeffs, factors, mcus_x, mcus_y)
+    dcs = blocks[:, 0]
+    dc_table_of_unit = [0 if sci == 0 else n_tables - 1 for sci in unit_sci]
+
+    # Per-component non-interleaved AC block sequences (raster over the
+    # component's own ceil(x/8) x ceil(y/8) grid, NOT the MCU-padded grid).
+    ac_seqs = []
+    for ci, (fh, fv) in enumerate(factors):
+        cx = -(-w * fh // hmax)
+        cy = -(-h * fv // vmax)
+        pad_x, pad_y = -(-cx // 8), -(-cy // 8)
+        ac_seqs.append(coeffs[ci][:pad_y, :pad_x].reshape(-1, 64))
+
+    # Two-pass optimized tables (EOBn symbols are absent from Annex K).
+    freq_dc = [np.zeros(256, dtype=np.int64) for _ in range(n_tables)]
+    freq_ac = [np.zeros(256, dtype=np.int64) for _ in range(n_tables)]
+    ee.encode_dc_scan(dcs, unit_sci, dc_table_of_unit, None, freq=freq_dc)
+    for ci in range(ncs):
+        t = 0 if ci == 0 else n_tables - 1
+        ee.encode_ac_scan(ac_seqs[ci], 1, 63, None, freq=freq_ac[t])
+
+    def spec_of(freq, table_class, table_id):
+        s = huffman.optimal_code_lengths(freq)
+        return dataclasses.replace(s, table_class=table_class, table_id=table_id)
+
+    dc_specs = [spec_of(freq_dc[t], 0, t) for t in range(n_tables)]
+    ac_specs = [spec_of(freq_ac[t], 1, t) for t in range(n_tables)]
+    dc_tables = [huffman.build_encode_table(s) for s in dc_specs]
+    ac_tables = [huffman.build_encode_table(s) for s in ac_specs]
+
+    dc_entropy = ee.encode_dc_scan(dcs, unit_sci, dc_table_of_unit, dc_tables)
+    ac_entropy = [
+        ee.encode_ac_scan(ac_seqs[ci], 1, 63, ac_tables[0 if ci == 0 else n_tables - 1])
+        for ci in range(ncs)
+    ]
+
+    parts = [writer.soi(), writer.app0_jfif(), writer.dqt(0, qt_l)]
+    if not gray:
+        parts.append(writer.dqt(1, qt_c))
+    if gray:
+        sof_comps = [(1, 1, 1, 0)]
+    else:
+        sof_comps = [
+            (1, factors[0][0], factors[0][1], 0),
+            (2, 1, 1, 1),
+            (3, 1, 1, 1),
+        ]
+    parts.append(writer.sof(w, h, sof_comps, marker=0xC2))
+    for s in dc_specs + ac_specs:
+        parts.append(writer.dht(s))
+    # DC scan: all components interleaved, ss=0 se=0.
+    if gray:
+        dc_sos = [(1, 0, 0)]
+    else:
+        dc_sos = [(1, 0, 0), (2, n_tables - 1, 0), (3, n_tables - 1, 0)]
+    parts.append(writer.sos(dc_sos, ss=0, se=0))
+    parts.append(dc_entropy)
+    # One full-band AC scan per component.
+    for ci in range(ncs):
+        cid = ci + 1
+        t = 0 if ci == 0 else n_tables - 1
+        parts.append(writer.sos([(cid, 0, t)], ss=1, se=63))
+        parts.append(ac_entropy[ci])
+    parts.append(writer.eoi())
+    return b"".join(parts)
+
+
+JpegEncoder._assemble_progressive = _assemble_progressive

@@ -120,6 +120,10 @@ class EncodeConfig:
     # Huffman tables: "annex_k" = spec Tables K.3-K.6; "optimized" = two-pass
     # per-image optimal code lengths.
     huffman: str = "annex_k"
+    # Progressive (SOF2) output with a spectral-selection scan script:
+    # one interleaved DC scan, then one full-band AC scan per component.
+    # Always uses optimized tables (EOBn symbols are absent from Annex K).
+    progressive: bool = False
 
     def __post_init__(self) -> None:
         if not (1 <= self.quality <= 100):
