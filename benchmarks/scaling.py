@@ -1,0 +1,94 @@
+"""Mesh-scaling benchmark: batch decode throughput vs device count.
+
+SURVEY.md §7.7: frames/s & MP/s at 1 chip / 1 host / N hosts. On a real pod
+run this after `multihost.initialize()` (the mesh then spans all hosts); in
+this container it exercises the same code path on the virtual CPU mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling.py [--sizes 1,2,4,8] [--batch 32]
+
+Prints one JSON line per mesh size with frames/s, MP/s, and the scaling
+efficiency vs the 1-device run. Note: on a virtual CPU mesh all "devices"
+share the same cores, so efficiency there measures sharding overhead, not
+real scaling — the harness exists so the identical command gives true
+scaling numbers on hardware.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS") is None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+    )
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The TPU plugin in this image force-prepends itself to the config;
+    # reset BEFORE any backend initialization (see tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--hw", type=int, default=256, help="image side length")
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args()
+
+    from jpeg_decoder_tpu.models import encoder
+    from jpeg_decoder_tpu.parallel import batch as batch_mod
+    from jpeg_decoder_tpu.parallel import mesh as mesh_mod
+    from jpeg_decoder_tpu.utils.config import DecodeConfig, EncodeConfig
+
+    rng = np.random.default_rng(7)
+    datas = [
+        encoder.encode(
+            rng.integers(0, 256, (args.hw, args.hw, 3), dtype=np.uint8),
+            EncodeConfig(quality=85, subsampling="420", restart_interval=2),
+        )
+        for _ in range(args.batch)
+    ]
+    px = args.batch * args.hw * args.hw
+    cfg = DecodeConfig()
+
+    base_rate = None
+    for n in [int(s) for s in args.sizes.split(",")]:
+        if n > len(jax.devices()):
+            print(f"# skipping mesh size {n}: only {len(jax.devices())} devices",
+                  file=sys.stderr)
+            continue
+        mesh = mesh_mod.make_mesh(n_data=n)
+        bd = batch_mod.BatchDecoder(cfg, mesh)
+        bd.decode_batch(datas)  # warm/compile
+        ts = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            bd.decode_batch(datas)
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts))
+        rate = px / t
+        if base_rate is None:
+            base_rate = rate
+        print(json.dumps({
+            "mesh_devices": n,
+            "frames_per_s": round(args.batch / t, 2),
+            "mp_per_s": round(rate / 1e6, 2),
+            "scaling_efficiency": round(rate / (base_rate * n), 3),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

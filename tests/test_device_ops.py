@@ -290,3 +290,71 @@ class TestPallasIdct:
             pallas_kernels.idct_pallas(jnp.asarray(blocks), qt, interpret=True)
         ).astype(np.int32)
         assert np.abs(got - exact).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# Huffman table properties (SURVEY.md §4: LUT vs spec-table cross-check)
+# ---------------------------------------------------------------------------
+
+
+class TestHuffmanProperty:
+    def _random_spec(self, rng):
+        from jpeg_decoder_tpu.core.types import HuffTableSpec
+
+        # Random valid canonical table: distribute n symbols over lengths
+        # without oversubscription (Kraft sum <= 1).
+        counts = np.zeros(16, dtype=np.uint8)
+        budget = 1.0
+        total = 0
+        for ln in range(1, 17):
+            cap = int(budget * (1 << ln)) - (1 if ln < 16 else 0)
+            take = int(rng.integers(0, min(max(cap, 0), 30) + 1))
+            counts[ln - 1] = take
+            total += take
+            budget = (budget - take / (1 << ln))
+            if total >= 200:
+                break
+        if total == 0:
+            counts[0] = 1
+            total = 1
+        symbols = rng.choice(256, total, replace=False).astype(np.uint8)
+        return HuffTableSpec(0, 0, counts, symbols)
+
+    def test_flat_lut_equals_canonical_walk(self, rng):
+        from jpeg_decoder_tpu.core.huffman import build_canonical, build_flat_lut
+        from jpeg_decoder_tpu.utils.errors import JpegEntropyError
+
+        for _ in range(20):
+            spec = self._random_spec(rng)
+            canon = build_canonical(spec)
+            lut = build_flat_lut(canon)
+            for _k in range(200):
+                peek = int(rng.integers(0, 65536))
+                bits = [(peek >> (15 - i)) & 1 for i in range(16)]
+                it = iter(bits[1:])
+                try:
+                    want = canon.decode_walk(bits[0], lambda: next(it))
+                except (JpegEntropyError, StopIteration):
+                    want = None
+                try:
+                    got, _ln = lut.decode_peek(peek)
+                except JpegEntropyError:
+                    got = None
+                assert got == want
+
+    def test_encode_decode_table_inverse(self, rng):
+        from jpeg_decoder_tpu.core.huffman import (
+            build_canonical, build_encode_table, build_flat_lut,
+        )
+
+        for _ in range(10):
+            spec = self._random_spec(rng)
+            enc = build_encode_table(spec)
+            lut = build_flat_lut(build_canonical(spec))
+            for s in spec.symbols:
+                s = int(s)
+                size = int(enc.size[s])
+                assert size > 0
+                peek = (int(enc.code[s]) << (16 - size)) & 0xFFFF
+                got, ln = lut.decode_peek(peek)
+                assert got == s and ln == size
