@@ -74,6 +74,18 @@ def _load():
             + [ctypes.c_int32] * 4               # ss, se, ah, al
             + [ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
         )
+        lib.jdt_decode_sequential_spec.restype = ctypes.c_int32
+        lib.jdt_decode_sequential_spec.argtypes = [
+            u8p,                                 # data
+            ctypes.c_int64,                      # scan_start
+            ctypes.c_int64,                      # scan_end
+            ctypes.c_int64,                      # total_dus
+            ctypes.POINTER(ctypes.c_int32),      # unit_params (11)
+            u8p, u8p,                            # dc lut sym/len
+            u8p, u8p,                            # ac lut sym/len
+            ctypes.POINTER(ctypes.c_int32),      # plane
+            ctypes.c_int32,                      # n_threads
+        ]
         lib.jdt_encode_scan.restype = ctypes.c_int32
         lib.jdt_encode_scan.argtypes = [
             ctypes.POINTER(ctypes.c_int32),      # blocks
@@ -207,6 +219,50 @@ def _check_segments(scan: Scan, total_mcus: int) -> int:
     return n_segs
 
 
+def _try_speculative(
+    structure: JpegStructure, scan: Scan, planes: CoefficientPlanes,
+    cfg: DecodeConfig, total_mcus: int, params: np.ndarray, luts,
+) -> bool:
+    """Chunk-parallel decode of a no-restart single-component sequential
+    scan via Huffman self-synchronization (jdt_decode_sequential_spec).
+    Returns True when the speculative path succeeded."""
+    lib = _load()
+    sh = scan.header
+    if (
+        sh.nics != 1
+        or scan.restart_interval != 0
+        or structure.frame.process == Encoding.PROGRESSIVE_DCT
+        or total_mcus < 2048  # not worth the stitch overhead
+        or cfg.num_threads == 1
+    ):
+        return False
+    u = params[0]
+    dc_lut, ac_lut = luts[u[2]], luts[u[3]]
+    ci = int(u[0])
+    plane = planes.plane(ci)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    data = np.ascontiguousarray(structure.data)
+    rc = lib.jdt_decode_sequential_spec(
+        data.ctypes.data_as(u8p),
+        int(scan.span.start),
+        int(scan.span.end),
+        total_mcus,
+        np.ascontiguousarray(u, dtype=np.int32).ctypes.data_as(i32p),
+        dc_lut.lut_symbol.ctypes.data_as(u8p),
+        dc_lut.lut_length.ctypes.data_as(u8p),
+        ac_lut.lut_symbol.ctypes.data_as(u8p),
+        ac_lut.lut_length.ctypes.data_as(u8p),
+        plane.ctypes.data_as(i32p),
+        cfg.num_threads,
+    )
+    if rc == 0:
+        return True
+    if rc == 4:  # could not apply/synchronize (plane untouched): fall back
+        return False
+    raise JpegEntropyError(f"speculative decode failed: {_STATUS.get(rc, rc)}")
+
+
 def decode_scan_native(
     structure: JpegStructure,
     scan: Scan,
@@ -219,6 +275,10 @@ def decode_scan_native(
         raise RuntimeError("native runtime unavailable")
     frame = structure.frame
     total_mcus, params, luts = scan_layout(structure, scan)
+    if frame.process != Encoding.PROGRESSIVE_DCT and _try_speculative(
+        structure, scan, planes, cfg, total_mcus, params, luts
+    ):
+        return
     n_segs = _check_segments(scan, total_mcus)
 
     bounds = np.array(

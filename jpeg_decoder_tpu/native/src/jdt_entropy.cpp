@@ -27,6 +27,9 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <limits>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -49,16 +52,27 @@ enum JdtStatus : int32_t {
 struct BitReader {
   const uint8_t* p = nullptr;
   const uint8_t* end = nullptr;
+  const uint8_t* origin = nullptr;  // for position accounting
   uint64_t buf = 0;  // MSB-first: next bit is bit 63
   int nbits = 0;
   int64_t padded = 0;  // zero bytes fabricated past the end
+  int64_t skips = 0;   // stuffed 0x00 bytes skipped so far
 
   void init(const uint8_t* start, const uint8_t* stop) {
     p = start;
     end = stop;
+    origin = start;
     buf = 0;
     nbits = 0;
     padded = 0;
+    skips = 0;
+  }
+
+  // Bit-cursor position in UNSTUFFED bits relative to origin (stuffed
+  // zeros excluded; fabricated past-end padding counts as fetched bits) —
+  // comparable across readers sharing a global unstuffed coordinate base.
+  inline int64_t unstuffed_pos() const {
+    return 8 * ((p - origin) - skips + padded) - nbits;
   }
 
   static inline bool has_ff6(uint64_t v) {
@@ -95,7 +109,10 @@ struct BitReader {
       uint8_t b = 0;
       if (p < end) {
         b = *p++;
-        if (b == 0xFF && p < end && *p == 0x00) p++;  // unstuff
+        if (b == 0xFF && p < end && *p == 0x00) {  // unstuff
+          p++;
+          skips++;
+        }
       } else {
         padded++;
       }
@@ -531,6 +548,242 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
   return c;
 }
 
+// ---------------------------------------------------------------------------
+// Speculative self-synchronizing parallel decode (no restart markers).
+//
+// For single-component sequential scans WITHOUT restart intervals there is
+// no built-in parallel seam; this implements the overlap-synchronization
+// technique from the GPU JPEG-decoding literature (Weißenberger & Schmidt,
+// arXiv:2111.09219): the entropy span splits into K byte chunks; worker k
+// starts decoding at its chunk boundary with UNKNOWN bit alignment and
+// records every data-unit start position. Huffman streams self-synchronize:
+// within a few data units the misaligned decode converges onto the true
+// boundary lattice, so worker k-1 (which overruns its chunk end by a fixed
+// window) and worker k share a common boundary — everything worker k
+// decoded after that point is provably identical to the true decode.
+// DC values are stored as DIFFS during speculation (alignment-independent)
+// and resolved by a prefix sum after stitching. Any anomaly — no sync,
+// decode error, wrong total — falls back to the serial path.
+//
+// Single-component only: interleaved scans rotate Huffman tables per unit
+// within an MCU, and a speculative decoder cannot know its phase; restart
+// streams don't need this machinery at all.
+// ---------------------------------------------------------------------------
+
+struct SpecChunk {
+  std::vector<int32_t> dus;     // 64 per DU, du[0] = DC DIFF
+  std::vector<int64_t> bounds;  // global unstuffed bit pos of each DU start
+  bool error = false;
+};
+
+constexpr int64_t kOverrunBits = 24 * 1024;  // overlap window per boundary
+
+void speculative_worker(const uint8_t* data, int64_t scan_start,
+                        int64_t chunk_begin, int64_t scan_end,
+                        int64_t global_unstuffed_base,  // bits before chunk
+                        int64_t stop_after_bits,        // global bit limit
+                        int64_t max_dus, int64_t reserve_hint,
+                        const HuffLut& dc, const HuffLut& ac, bool exact,
+                        SpecChunk* out) {
+  // A chunk must not begin on the 0x00 of a stuffed FF00 pair. The base
+  // correction: chunk_bits counted that pair's 0x00 as "stuffed before",
+  // but the preceding 0xFF is content before the bumped cursor, so the
+  // true unstuffed base is one byte later.
+  if (chunk_begin > scan_start && data[chunk_begin] == 0x00 &&
+      data[chunk_begin - 1] == 0xFF) {
+    chunk_begin++;
+    global_unstuffed_base += 8;
+  }
+  BitReader br;
+  br.init(data + chunk_begin, data + scan_end);
+  int32_t du[64];
+  out->dus.reserve(static_cast<size_t>(reserve_hint) * 64);
+  int64_t retries = 0;
+  constexpr int64_t kMaxRetries = 1 << 16;
+  while (static_cast<int64_t>(out->bounds.size()) < max_dus) {
+    int64_t pos = global_unstuffed_base + br.unstuffed_pos();
+    if (pos >= stop_after_bits) break;
+    BitReader at_start = br;  // snapshot for 1-bit resync on failure
+    int32_t zero = 0;  // DC stored as diff: fresh predictor per DU
+    int rc = decode_du_sequential(br, dc, ac, &zero, du);
+    if (rc != JDT_OK) {
+      // Misaligned speculation hit an invalid prefix / overlong block:
+      // shift the start hypothesis by ONE BIT and try again — this is
+      // what makes self-synchronization converge (incomplete JPEG code
+      // tables reject most wrong alignments quickly). The EXACT worker
+      // (chunk 0, true alignment) must NOT resync: its errors are real
+      // stream corruption and force the serial fallback's error report.
+      if (exact || ++retries > kMaxRetries) {
+        out->error = true;
+        break;
+      }
+      br = at_start;
+      br.fill();
+      br.consume(1);
+      continue;
+    }
+    out->bounds.push_back(pos);
+    out->dus.insert(out->dus.end(), du, du + 64);
+    if (br.overran()) break;  // consuming fabricated padding: stream over
+  }
+}
+
+// Returns JDT_OK and fills `plane` on success; JDT_ERR_BAD_ARG signals
+// "could not synchronize — caller must run the serial path".
+int decode_speculative(const uint8_t* data, int64_t scan_start,
+                       int64_t scan_end, int64_t total_dus,
+                       const UnitLayout& ul, const HuffLut& dc,
+                       const HuffLut& ac, int32_t* plane, int32_t n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  int64_t span = scan_end - scan_start;
+  int k = std::min<int64_t>(n_threads, span / (1 << 16));  // >=64KB per chunk
+  if (k < 2) return JDT_ERR_BAD_ARG;
+
+  // Global unstuffed bit offset of each chunk start: count FF00 pairs.
+  std::vector<int64_t> chunk_byte(k + 1), chunk_bits(k + 1);
+  std::vector<int64_t> stuffed_before(k + 1, 0);
+  for (int i = 0; i <= k; i++)
+    chunk_byte[i] = scan_start + span * i / k;
+  {
+    int64_t stuffed = 0;
+    int next = 1;
+    for (int64_t b = scan_start; b < scan_end && next <= k; b++) {
+      while (next <= k && b == chunk_byte[next]) {
+        stuffed_before[next] = stuffed;
+        next++;
+      }
+      if (data[b] == 0xFF && b + 1 < scan_end && data[b + 1] == 0x00)
+        stuffed++;
+    }
+  }
+  for (int i = 0; i <= k; i++)
+    chunk_bits[i] = 8 * (chunk_byte[i] - scan_start - stuffed_before[i]);
+
+  const bool dbg = std::getenv("JDT_DEBUG") != nullptr;
+  std::vector<SpecChunk> chunks(k);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < k; t++) {
+    int64_t stop = (t + 1 < k)
+                       ? chunk_bits[t + 1] + kOverrunBits
+                       : std::numeric_limits<int64_t>::max();
+    pool.emplace_back(speculative_worker, data, scan_start, chunk_byte[t],
+                      scan_end, chunk_bits[t], stop, total_dus + 64,
+                      total_dus / k + 4096, std::cref(dc), std::cref(ac),
+                      t == 0, &chunks[t]);
+  }
+  for (auto& th : pool) th.join();
+
+  if (dbg) {
+    for (int t = 0; t < k; t++) {
+      std::fprintf(stderr,
+                   "[spec] chunk %d: base=%lld dus=%zu err=%d first=%lld "
+                   "last=%lld\n",
+                   t, (long long)chunk_bits[t], chunks[t].bounds.size(),
+                   (int)chunks[t].error,
+                   chunks[t].bounds.empty() ? -1LL
+                                            : (long long)chunks[t].bounds.front(),
+                   chunks[t].bounds.empty() ? -1LL
+                                            : (long long)chunks[t].bounds.back());
+    }
+  }
+
+  // Stitch: for each adjacent pair find the first common DU boundary at or
+  // after the later chunk's start. splice_idx[t] = first valid DU index in
+  // chunk t; splice_end[t] = one-past-last (from the next sync point).
+  if (chunks[0].error) return JDT_ERR_BAD_ARG;  // real corruption: let the
+                                                // serial path report it
+  std::vector<int64_t> first_valid(k, 0), last_valid(k, 0);
+  first_valid[0] = 0;
+  for (int t = 0; t + 1 < k; t++) {
+    const auto& a = chunks[t].bounds;
+    const auto& b = chunks[t + 1].bounds;
+    int64_t ai = 0, bi = 0, sync_a = -1, sync_b = -1;
+    // advance a to the overlap region
+    while (ai < static_cast<int64_t>(a.size()) && a[ai] < chunk_bits[t + 1])
+      ai++;
+    while (ai < static_cast<int64_t>(a.size()) &&
+           bi < static_cast<int64_t>(b.size())) {
+      if (a[ai] == b[bi]) {
+        sync_a = ai;
+        sync_b = bi;
+        break;
+      }
+      if (a[ai] < b[bi]) ai++; else bi++;
+    }
+    if (sync_a < 0) {
+      if (dbg)
+        std::fprintf(stderr, "[spec] no sync between %d and %d\n", t, t + 1);
+      return JDT_ERR_BAD_ARG;  // no sync: fallback
+    }
+    if (dbg)
+      std::fprintf(stderr, "[spec] sync %d->%d at bit %lld (a#%lld b#%lld)\n",
+                   t, t + 1, (long long)a[sync_a], (long long)sync_a,
+                   (long long)sync_b);
+    last_valid[t] = sync_a;          // chunk t contributes [first, sync_a)
+    first_valid[t + 1] = sync_b;     // chunk t+1 valid from sync_b on
+  }
+  last_valid[k - 1] = static_cast<int64_t>(chunks[k - 1].bounds.size());
+  // The last worker has no DU-count target of its own and may run into the
+  // stream's 1-fill padding after the final real data unit (flagging a
+  // truncation "error") — trailing overshoot is trimmed by the global
+  // count; a SHORTFALL means real desync and forces the fallback.
+  int64_t total = 0;
+  for (int t = 0; t < k; t++) total += last_valid[t] - first_valid[t];
+  if (total > total_dus) {
+    int64_t excess = total - total_dus;
+    if (last_valid[k - 1] - first_valid[k - 1] < excess)
+      return JDT_ERR_BAD_ARG;
+    last_valid[k - 1] -= excess;
+    total = total_dus;
+  }
+  if (total != total_dus) {
+    if (dbg)
+      std::fprintf(stderr, "[spec] total %lld != expected %lld\n",
+                   (long long)total, (long long)total_dus);
+    return JDT_ERR_BAD_ARG;
+  }
+
+  // Scatter with DC prefix sum (single component, no restarts: one
+  // predictor chain over the whole scan). Per-chunk starting predictors
+  // and DU-index bases are computed serially (cheap adds), then each
+  // chunk scatters concurrently.
+  std::vector<int64_t> idx_base(k, 0);
+  std::vector<int32_t> pred_base(k, 0);
+  {
+    int64_t idx = 0;
+    int64_t pred = 0;
+    for (int t = 0; t < k; t++) {
+      idx_base[t] = idx;
+      pred_base[t] = static_cast<int32_t>(pred);
+      const int32_t* dus = chunks[t].dus.data();
+      for (int64_t j = first_valid[t]; j < last_valid[t]; j++)
+        pred += dus[j * 64];
+      idx += last_valid[t] - first_valid[t];
+    }
+  }
+  auto scatter = [&](int t) {
+    int64_t idx = idx_base[t];
+    int32_t pred = pred_base[t];
+    int32_t scratch[64];
+    for (int64_t j = first_valid[t]; j < last_valid[t]; j++, idx++) {
+      const int32_t* du = chunks[t].dus.data() + j * 64;
+      int64_t bx = idx % ul.wrap;
+      int64_t by = (idx / ul.wrap);
+      int32_t* dst = (by < ul.plane_bh && bx < ul.plane_bw)
+                         ? plane + (by * ul.plane_bw + bx) * 64
+                         : scratch;
+      std::memcpy(dst, du, 64 * sizeof(int32_t));
+      pred += du[0];
+      dst[0] = pred;
+    }
+  };
+  std::vector<std::thread> spool;
+  for (int t = 1; t < k; t++) spool.emplace_back(scatter, t);
+  scatter(0);
+  for (auto& th : spool) th.join();
+  return JDT_OK;
+}
+
 }  // namespace
 
 extern "C" {
@@ -551,6 +804,28 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
                                 unit_params, n_units, lut_symbols,
                                 lut_lengths, n_luts, planes);
   return run_segments(c, n_threads, err_out, decode_segment_sequential);
+}
+
+// Speculative chunk-parallel decode of a single-component, no-restart
+// sequential scan (see decode_speculative above). Returns JDT_OK on
+// success; JDT_ERR_BAD_ARG means "could not apply/synchronize" and the
+// caller should use jdt_decode_sequential instead.
+int32_t jdt_decode_sequential_spec(
+    const uint8_t* data, int64_t scan_start, int64_t scan_end,
+    int64_t total_dus, const int32_t* unit_params,
+    const uint8_t* lut_sym_dc, const uint8_t* lut_len_dc,
+    const uint8_t* lut_sym_ac, const uint8_t* lut_len_ac, int32_t* plane,
+    int32_t n_threads) {
+  if (total_dus <= 0) return JDT_ERR_BAD_ARG;
+  UnitLayout ul{unit_params[0], unit_params[1], unit_params[2],
+                unit_params[3], unit_params[4], unit_params[5],
+                unit_params[6], unit_params[7], unit_params[8],
+                unit_params[9], unit_params[10]};
+  HuffLut dc, ac;
+  dc.build(lut_sym_dc, lut_len_dc);
+  ac.build(lut_sym_ac, lut_len_ac);
+  return decode_speculative(data, scan_start, scan_end, total_dus, ul, dc,
+                            ac, plane, n_threads);
 }
 
 // Progressive scan (any of the four pass kinds), segment-parallel.

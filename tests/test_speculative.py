@@ -1,0 +1,87 @@
+"""Speculative self-synchronizing parallel decode of NO-restart streams.
+
+The hard case SURVEY.md §3 identifies: without restart markers the bitstream
+has no parallel seam. The native runtime's overlap-sync decoder must produce
+bit-identical coefficients to the serial path on single-component scans.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpeg_decoder_tpu.core import oracle
+from jpeg_decoder_tpu.core.types import CoefficientPlanes
+from jpeg_decoder_tpu.io.parser import parse
+from jpeg_decoder_tpu.models import decoder
+from jpeg_decoder_tpu.native import runtime as nr
+from jpeg_decoder_tpu.utils.config import DecodeConfig
+
+pytestmark = pytest.mark.skipif(
+    not nr.available(), reason="native runtime unavailable"
+)
+
+CFG = DecodeConfig()
+
+
+def _gray_jpeg(h, w, seed=0, quality=85):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def _spec_applies(data, cfg=CFG):
+    s = parse(data, cfg)
+    scan = s.scans[0]
+    total_mcus, params, luts = nr.scan_layout(s, scan)
+    planes = CoefficientPlanes(s.frame)
+    used = nr._try_speculative(s, scan, planes, cfg, total_mcus, params, luts)
+    return s, planes, used
+
+
+def test_speculative_matches_serial_large_gray():
+    data = _gray_jpeg(1024, 1024)  # ~16k blocks, no DRI
+    s, planes, used = _spec_applies(data)
+    assert used, "speculative path should engage on large no-DRI grayscale"
+    serial, _ = nr.entropy_decode(s, CFG.replace(num_threads=1))
+    np.testing.assert_array_equal(planes.plane(0), serial.plane(0))
+
+
+@pytest.mark.parametrize("quality", [30, 95])
+def test_speculative_quality_extremes(quality):
+    data = _gray_jpeg(512, 1024, seed=3, quality=quality)
+    s, planes, used = _spec_applies(data)
+    if not used:
+        pytest.skip("stream too small to chunk at this quality")
+    serial, _ = nr.entropy_decode(s, CFG.replace(num_threads=1))
+    np.testing.assert_array_equal(planes.plane(0), serial.plane(0))
+
+
+def test_speculative_full_pipeline_vs_oracle():
+    data = _gray_jpeg(768, 768, seed=9)
+    want = oracle.decode(data)
+    got = decoder.decode(data, CFG)
+    np.testing.assert_array_equal(got.rgb, want.rgb)
+
+
+def test_small_streams_skip_speculation():
+    data = _gray_jpeg(64, 64, seed=1)
+    s, planes, used = _spec_applies(data)
+    assert not used  # under the MCU threshold
+
+
+def test_interleaved_streams_skip_speculation(rng):
+    arr = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=85, subsampling=2)
+    s, planes, used = _spec_applies(buf.getvalue())
+    assert not used  # interleaved: table phase unknowable
+
+
+def test_speculative_single_thread_config_skips():
+    data = _gray_jpeg(1024, 1024, seed=2)
+    s, planes, used = _spec_applies(data, CFG.replace(num_threads=1))
+    assert not used
