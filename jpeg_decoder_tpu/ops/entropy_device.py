@@ -17,6 +17,15 @@ without DRI degrade to one lane — correct, but serial).
 
 Sequential (baseline/extended) scans only; progressive scans fall back to
 the host backends (models/decoder.py dispatches per scan).
+
+Measured on TPU v5e: ~1.7 MP/s on a 512x512 4:2:0 stream with per-block
+restart segments (vs ~450 MP/s for the host C++ runtime on 4 cores) —
+the per-symbol gather/scatter loop maps poorly onto the VPU at small lane
+counts, and Mosaic/XLA compile of the while_loop takes ~14 min through
+the remote tunnel. This backend is therefore a CAPABILITY (decode with
+zero host compute, e.g. compressed bytes living in HBM) and a correctness
+testbed, not the throughput path; a Pallas rewrite with per-core lane
+blocking is the known follow-up.
 """
 
 from __future__ import annotations
