@@ -16,6 +16,7 @@ from ..io import bitstream as bsio
 from ..io.markers import Encoding
 from ..utils.config import DecodeConfig
 from .huffman import build_canonical, build_flat_lut
+from .driver import run_scans
 from .types import CoefficientPlanes, HuffTableSpec, JpegStructure
 from . import oracle
 
@@ -24,24 +25,18 @@ def _lut_builder(spec: HuffTableSpec):
     return build_flat_lut(build_canonical(spec))
 
 
+def _decode_scan(structure, scan, planes):
+    fn = (
+        oracle.decode_progressive_scan
+        if structure.frame.process == Encoding.PROGRESSIVE_DCT
+        else oracle.decode_sequential_scan
+    )
+    fn(structure, scan, planes,
+       reader_cls=bsio.FastBitReader, table_builder=_lut_builder)
+
+
 def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):
     """All scans -> (CoefficientPlanes, qtid -> natural-order table)."""
-    frame = structure.frame
-    planes = CoefficientPlanes(frame)
-    qts: dict[int, np.ndarray] = {}
-    for scan in structure.scans:
-        for tid, qt in scan.quant_tables.items():
-            qts[tid] = qt.values
-        if frame.process == Encoding.PROGRESSIVE_DCT:
-            oracle.decode_progressive_scan(
-                structure, scan, planes,
-                reader_cls=bsio.FastBitReader,
-                table_builder=_lut_builder,
-            )
-        else:
-            oracle.decode_sequential_scan(
-                structure, scan, planes,
-                reader_cls=bsio.FastBitReader,
-                table_builder=_lut_builder,
-            )
+    planes = CoefficientPlanes(structure.frame)
+    qts = run_scans(structure, planes, _decode_scan)
     return planes, qts

@@ -227,8 +227,12 @@ def decode_progressive_scan(
     ac_tables = {}
     for sc in sh.components:
         if is_dc and sh.ah == 0:
+            if sc.dc not in scan.dc_tables:
+                raise JpegFormatError(f"scan uses undefined DC table {sc.dc}")
             dc_tables[sc.dc] = table_builder(scan.dc_tables[sc.dc])
         if not is_dc:
+            if sc.ac not in scan.ac_tables:
+                raise JpegFormatError(f"scan uses undefined AC table {sc.ac}")
             ac_tables[sc.ac] = table_builder(scan.ac_tables[sc.ac])
 
     if sh.nics == 1:
@@ -441,17 +445,19 @@ def decode_structure(
     """Full oracle decode of a parsed stream."""
     from ..io.markers import Encoding
 
+    from .driver import run_scans
+
     cfg = cfg or DecodeConfig()
     frame = structure.frame
     planes = CoefficientPlanes(frame)
-    qts: dict[int, np.ndarray] = {}
-    for scan in structure.scans:
-        for tid, qt in scan.quant_tables.items():
-            qts[tid] = qt.values
+
+    def _decode_scan(s, scan, p):
         if frame.process == Encoding.PROGRESSIVE_DCT:
-            decode_progressive_scan(structure, scan, planes)
+            decode_progressive_scan(s, scan, p)
         else:
-            decode_sequential_scan(structure, scan, planes)
+            decode_sequential_scan(s, scan, p)
+
+    qts = run_scans(structure, planes, _decode_scan)
     pixel_planes = pixels_from_coeffs(frame, planes, qts)
     rgb = color_convert(frame, pixel_planes, cfg.quirks)
     return DecodedImage(frame=frame, planes=pixel_planes, rgb=rgb)

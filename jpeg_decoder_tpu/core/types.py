@@ -112,16 +112,23 @@ class FrameHeader:
 
         raise JpegFormatError(f"no frame component with id {comp_id}")
 
-    def with_height(self, height: int) -> "FrameHeader":
-        """DNL redefines Y (frame_header.c:60-75); component dims re-derive."""
+    def with_height(self, height: int, reference_quirks: bool = True) -> "FrameHeader":
+        """DNL redefines Y (frame_header.c:60-75); component dims re-derive
+        with the same ceil rule the parser used (float32 under REFERENCE
+        quirks, integer ceil otherwise)."""
+        max_v = self.max_vsf
         comps = tuple(
             dataclasses.replace(
                 c,
-                y=int(
-                    np.ceil(
-                        np.float32(height)
-                        * (np.float32(c.vsf) / np.float32(self.max_vsf))
+                y=(
+                    int(
+                        np.ceil(
+                            np.float32(height)
+                            * (np.float32(c.vsf) / np.float32(max_v))
+                        )
                     )
+                    if reference_quirks
+                    else -(-height * c.vsf // max_v)
                 ),
             )
             for c in self.components
@@ -259,8 +266,6 @@ class CoefficientPlanes:
             np.zeros((c.blocks_y, c.blocks_x, 64), dtype=np.int32)
             for c in frame.components
         ]
-        # EOB-run bookkeeping for progressive AC scans, per component.
-        self._eobrun: int = 0
 
     def plane(self, i: int) -> np.ndarray:
         return self.planes[i]

@@ -6,9 +6,8 @@ a serial 3-byte lookahead per MCU (`check_marker` bitstream.c:84-134). That is
 exactly the serial dependence a parallel design must not have, so here the
 byte domain is preprocessed with NumPy array scans:
 
-  * `entropy_span_end`   — find where a scan's entropy-coded bytes end;
-  * `find_restart_markers` — gather all RSTn offsets up front (the
-    segment-parallel seam, SURVEY.md §2);
+  * `scan_entropy_span`  — one pass finding where a scan's entropy bytes
+    end AND every RSTn offset (the segment-parallel seam, SURVEY.md §2);
   * `unstuff`            — remove 0x00 bytes following 0xFF (byte unstuffing,
     reference `next_byte_for_bits` bitstream.c:22-59) in one vector pass.
 
@@ -38,43 +37,6 @@ def read_u16be(data: np.ndarray, off: int) -> int:
     if off + 2 > data.shape[0]:
         raise JpegTruncatedError("u16 read past end of stream", offset=off)
     return (int(data[off]) << 8) | int(data[off + 1])
-
-
-def entropy_span_end(data: np.ndarray, start: int) -> int:
-    """Offset one past the last entropy byte of a scan starting at `start`.
-
-    Entropy data is terminated by the first 0xFF that is followed by anything
-    other than 0x00 (stuffing) or 0xD0-0xD7 (restart markers, which belong to
-    the scan). A trailing 0xFF at end-of-buffer also terminates.
-    """
-    n = data.shape[0]
-    if start >= n:
-        raise JpegTruncatedError("scan starts past end of stream", offset=start)
-    ff = np.flatnonzero(data[start:] == 0xFF)
-    if ff.size == 0:
-        return n  # unterminated entropy data; tolerate (reference would run off)
-    nxt = data[start:][np.minimum(ff + 1, n - start - 1)]
-    is_terminator = ~((nxt == 0x00) | ((nxt >= 0xD0) & (nxt <= 0xD7)))
-    # A 0xFF as the very last byte has no successor: treat as terminator.
-    is_terminator |= (ff + 1) >= (n - start)
-    hits = np.flatnonzero(is_terminator)
-    if hits.size == 0:
-        return n
-    return start + int(ff[hits[0]])
-
-
-def find_restart_markers(data: np.ndarray, start: int, end: int) -> np.ndarray:
-    """All offsets of RSTn markers (position of the 0xFF) in [start, end).
-
-    The reference discovers these serially one MCU at a time
-    (bitstream.c:142-176); this single vector pass is the prescan that makes
-    segment-parallel entropy decode possible.
-    """
-    seg = data[start:end]
-    if seg.shape[0] < 2:
-        return np.empty(0, dtype=np.int64)
-    ff = (seg[:-1] == 0xFF) & (seg[1:] >= 0xD0) & (seg[1:] <= 0xD7)
-    return np.flatnonzero(ff).astype(np.int64) + start
 
 
 def scan_entropy_span(data: np.ndarray, start: int) -> tuple[int, np.ndarray]:
@@ -116,12 +78,6 @@ def unstuff(data: np.ndarray, start: int, end: int) -> tuple[np.ndarray, np.ndar
     keep = ~drop
     offsets = np.flatnonzero(keep).astype(np.int64) + start
     return seg[keep], offsets
-
-
-def bits_of(data: np.ndarray) -> np.ndarray:
-    """Unpack bytes to MSB-first bits (uint8 0/1) — the bit order of
-    `next_bit` (bitstream.c:62: bit = byte >> (7 - offset) & 1)."""
-    return np.unpackbits(data)
 
 
 class BitReader:

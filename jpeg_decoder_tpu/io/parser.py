@@ -60,6 +60,8 @@ def _parse_frame_header(
     length = bs.read_u16be(data, off)
     if length < 8:
         raise JpegFormatError("SOF segment too short", offset=off)
+    if off + length > data.shape[0]:
+        raise JpegTruncatedError("SOF extends past end of stream", offset=off)
     p = off + 2
     precision = int(data[p])
     height = bs.read_u16be(data, p + 1)
@@ -185,6 +187,8 @@ def _parse_sos_header(data: np.ndarray, off: int) -> tuple[ScanHeader, int]:
     length = bs.read_u16be(data, off)
     if length < 6:
         raise JpegFormatError("SOS segment too short", offset=off)
+    if off + length > data.shape[0]:
+        raise JpegTruncatedError("SOS extends past end of stream", offset=off)
     nics = int(data[off + 2])
     if nics == 0 or nics > 4:
         raise JpegFormatError(f"bad SOS component count {nics}", offset=off)
@@ -276,7 +280,10 @@ def parse(
                 raise JpegFormatError("bad DNL length", offset=seg)
             if frame is None:
                 raise JpegFormatError("DNL before SOF", offset=seg)
-            frame = frame.with_height(bs.read_u16be(data, seg + 2))
+            frame = frame.with_height(
+                bs.read_u16be(data, seg + 2),
+                reference_quirks=cfg.quirks == Quirks.REFERENCE,
+            )
             p = seg + length
         elif marker == Marker.SOS:
             if frame is None:

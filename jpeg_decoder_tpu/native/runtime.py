@@ -18,6 +18,7 @@ import threading
 import numpy as np
 
 from ..core.huffman import build_canonical, build_flat_lut
+from ..core.driver import run_scans
 from ..core.types import CoefficientPlanes, JpegStructure, Scan
 from ..io.markers import Encoding
 from ..utils.config import DecodeConfig
@@ -132,6 +133,17 @@ def scan_layout(structure: JpegStructure, scan: Scan):
     frame = structure.frame
     sh = scan.header
 
+    # Progressive scan-header validation (same rules the oracle enforces;
+    # spec G.1.1.1.1) — without this, an interleaved AC scan would share
+    # one EOB run across units and silently decode garbage.
+    if frame.process == Encoding.PROGRESSIVE_DCT:
+        if sh.ss == 0 and sh.se != 0:
+            raise JpegFormatError(
+                "progressive scan with ss=0 must have se=0 (G.1.1.1.1)"
+            )
+        if sh.ss != 0 and sh.nics != 1:
+            raise JpegFormatError("progressive AC scan must be non-interleaved")
+
     luts = []
     lut_index: dict[tuple[int, int], int] = {}
 
@@ -231,6 +243,7 @@ def _try_speculative(
     if (
         sh.nics != 1
         or scan.restart_interval != 0
+        or scan.span.num_segments != 1  # stray RSTn bytes: serial path errors
         or structure.frame.process == Encoding.PROGRESSIVE_DCT
         or total_mcus < 2048  # not worth the stitch overhead
         or cfg.num_threads == 1
@@ -405,9 +418,8 @@ def encode_scan_native(
 def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):
     """All scans -> (CoefficientPlanes, qtid -> natural-order table)."""
     planes = CoefficientPlanes(structure.frame)
-    qts: dict[int, np.ndarray] = {}
-    for scan in structure.scans:
-        for tid, qt in scan.quant_tables.items():
-            qts[tid] = qt.values
-        decode_scan_native(structure, scan, planes, cfg)
+    qts = run_scans(
+        structure, planes,
+        lambda s, scan, p: decode_scan_native(s, scan, p, cfg),
+    )
     return planes, qts

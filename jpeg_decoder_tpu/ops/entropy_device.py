@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core.driver import run_scans
 from ..core.types import CoefficientPlanes, JpegStructure
 from ..io import bitstream as bsio
 from ..io.markers import Encoding
@@ -111,6 +112,7 @@ def _build_decode_loop(
             base=jax.vmap(block_base)(m0, jnp.zeros(L, dtype=I32)),
             preds=jnp.zeros((L, 4), dtype=I32),
             done=m0 >= mcu_end,
+            bad=jnp.zeros(L, dtype=jnp.bool_),
         )
 
         def cond(s):
@@ -131,11 +133,12 @@ def _build_decode_loop(
             flat_idx = lut_id * 65536 + peek
             sym = lut_sym.reshape(-1)[flat_idx]
             ln = lut_len.reshape(-1)[flat_idx]
-            # invalid prefix (ln == 0) would hang the lane; treat as EOB of
-            # everything by forcing the lane done at the end of this step.
-            bad = active & (ln == 0)
+            # invalid prefix (ln == 0) or out-of-range DC magnitude would
+            # hang/corrupt the lane: force it done and flag the error (the
+            # caller raises JpegEntropyError).
+            bad = active & ((ln == 0) | (is_dc & (sym > 15)))
 
-            size = jnp.where(is_dc, sym, sym & 0xF)
+            size = jnp.where(is_dc, jnp.minimum(sym, 16), sym & 0xF)
             run = jnp.where(is_dc, 0, sym >> 4)
 
             # --- extend bits ---------------------------------------------
@@ -212,10 +215,11 @@ def _build_decode_loop(
                 base=base_next,
                 preds=preds,
                 done=done,
+                bad=s["bad"] | bad,
             )
 
         final = lax.while_loop(cond, body, state)
-        return final["out"]
+        return final["out"], jnp.any(final["bad"])
 
     return decode
 
@@ -254,17 +258,20 @@ def decode_scan_device(structure, scan, planes: CoefficientPlanes, cfg):
     else:
         mcu_end = np.array([total_mcus], dtype=np.int32)
 
-    flat = np.asarray(
-        jax.device_get(
-            decode(
-                jnp.asarray(bytes_arr),
-                jnp.asarray(lut_sym),
-                jnp.asarray(lut_len),
-                jnp.asarray(mcu_end),
-                ri,
-            )
-        )
+    flat_dev, bad_dev = decode(
+        jnp.asarray(bytes_arr),
+        jnp.asarray(lut_sym),
+        jnp.asarray(lut_len),
+        jnp.asarray(mcu_end),
+        ri,
     )
+    if bool(jax.device_get(bad_dev)):
+        from ..utils.errors import JpegEntropyError
+
+        raise JpegEntropyError(
+            "device entropy decode hit an invalid Huffman code or DC range"
+        )
+    flat = np.asarray(jax.device_get(flat_dev))
     pos = 0
     for ci in range(frame.ncs):
         p = planes.plane(ci)
@@ -282,9 +289,8 @@ def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):
             " the native or numpy backend"
         )
     planes = CoefficientPlanes(frame)
-    qts: dict[int, np.ndarray] = {}
-    for scan in structure.scans:
-        for tid, qt in scan.quant_tables.items():
-            qts[tid] = qt.values
-        decode_scan_device(structure, scan, planes, cfg)
+    qts = run_scans(
+        structure, planes,
+        lambda s, scan, p: decode_scan_device(s, scan, p, cfg),
+    )
     return planes, qts

@@ -141,23 +141,38 @@ class BatchDecoder:
         return rgb[:b]
 
     def decode_many(self, datas: list[bytes]) -> list[np.ndarray]:
-        """Decode a mixed batch: groups by geometry signature, one batched
-        dispatch per group; returns per-input RGB arrays in input order."""
+        """Decode a mixed batch: groups by geometry/table signature, one
+        batched dispatch per group; returns per-input RGB arrays in input
+        order. Inputs are parsed once (structures are reused for the
+        grouped device dispatch)."""
+        structures = [parse(d, self.cfg) for d in datas]
         order: dict = {}
-        for i, d in enumerate(datas):
-            s = parse(d, self.cfg)
+        for i, s in enumerate(structures):
+            # The full stage signature: frame geometry AND the quant-table
+            # contents in force for each scan (same-geometry images at
+            # different qualities must not share a device program).
             key = (
                 s.frame,
                 tuple(
-                    (sc.header, sc.restart_interval) for sc in s.scans
+                    (
+                        sc.header,
+                        sc.restart_interval,
+                        tuple(
+                            (tid, qt.values.tobytes())
+                            for tid, qt in sorted(sc.quant_tables.items())
+                        ),
+                    )
+                    for sc in s.scans
                 ),
-                s.frame.width,
-                s.frame.height,
             )
             order.setdefault(key, []).append(i)
         out: list = [None] * len(datas)
         for idxs in order.values():
-            rgbs = self.decode_batch([datas[i] for i in idxs])
+            group_structs = [structures[i] for i in idxs]
+            results = self._entropy_many(group_structs)
+            rgbs = self._device_batch(
+                [datas[i] for i in idxs], group_structs, results
+            )
             for j, i in enumerate(idxs):
                 out[i] = rgbs[j]
         return out
