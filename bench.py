@@ -80,14 +80,20 @@ def main() -> None:
     px = W * H
 
     # ---- Stage 1: host (parse + native segment-parallel entropy) ----------
+    # Steady-state serving measurement: coefficient planes come from the
+    # reuse pool (as BatchDecoder does), so per-image page-fault costs of
+    # fresh allocations don't recur.
+    pool = decoder_mod.PlanePool()
     structure = parse(data, cfg)
     planes, qts = decoder_mod._entropy_decode(structure, cfg)  # warm
     t_host = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         structure = parse(data, cfg)
-        planes, qts = decoder_mod._entropy_decode(structure, cfg)
+        p = pool.acquire(structure.frame)
+        planes, qts = decoder_mod._entropy_decode(structure, cfg, p)
         t_host.append(time.perf_counter() - t0)
+        pool.release(planes)
     t_host_m = float(np.median(t_host))
     log(f"host stage: {t_host_m*1e3:.1f} ms = {px/t_host_m/1e6:.1f} MP/s "
         f"(segments={structure.scans[0].span.num_segments})")

@@ -35,8 +35,13 @@ def _decode_scan(structure, scan, planes):
        reader_cls=bsio.FastBitReader, table_builder=_lut_builder)
 
 
-def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):
+def entropy_decode(
+    structure: JpegStructure,
+    cfg: DecodeConfig,
+    planes: CoefficientPlanes | None = None,
+):
     """All scans -> (CoefficientPlanes, qtid -> natural-order table)."""
-    planes = CoefficientPlanes(structure.frame)
+    if planes is None:
+        planes = CoefficientPlanes(structure.frame)
     qts = run_scans(structure, planes, _decode_scan)
     return planes, qts

@@ -415,9 +415,20 @@ def encode_scan_native(
         lib.jdt_free(out_ptr)
 
 
-def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):
-    """All scans -> (CoefficientPlanes, qtid -> natural-order table)."""
-    planes = CoefficientPlanes(structure.frame)
+def entropy_decode(
+    structure: JpegStructure,
+    cfg: DecodeConfig,
+    planes: CoefficientPlanes | None = None,
+):
+    """All scans -> (CoefficientPlanes, qtid -> natural-order table).
+
+    `planes` may be a reusable buffer for the same geometry (serving path;
+    see models/decoder.PlanePool): sequential scans overwrite every
+    coefficient of every covered block, so re-zeroing is unnecessary;
+    progressive accumulation REQUIRES zeroed planes — the pool handles that.
+    """
+    if planes is None:
+        planes = CoefficientPlanes(structure.frame)
     qts = run_scans(
         structure, planes,
         lambda s, scan, p: decode_scan_native(s, scan, p, cfg),

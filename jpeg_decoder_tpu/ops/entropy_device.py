@@ -279,7 +279,11 @@ def decode_scan_device(structure, scan, planes: CoefficientPlanes, cfg):
         pos += p.size
 
 
-def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):
+def entropy_decode(
+    structure: JpegStructure,
+    cfg: DecodeConfig,
+    planes: CoefficientPlanes | None = None,
+):
     """All scans -> (CoefficientPlanes, qtid -> table). Sequential scans run
     on device; progressive scans are not supported on this backend."""
     frame = structure.frame
@@ -288,7 +292,8 @@ def entropy_decode(structure: JpegStructure, cfg: DecodeConfig):
             "device entropy backend does not decode progressive scans; use"
             " the native or numpy backend"
         )
-    planes = CoefficientPlanes(frame)
+    if planes is None:
+        planes = CoefficientPlanes(frame)
     qts = run_scans(
         structure, planes,
         lambda s, scan, p: decode_scan_device(s, scan, p, cfg),

@@ -49,6 +49,7 @@ class BatchDecoder:
     def __init__(self, cfg: DecodeConfig | None = None, mesh: Mesh | None = None):
         self.cfg = cfg or DecodeConfig()
         self.mesh = mesh
+        self._pool = decoder_mod.PlanePool()
 
     @property
     def _n_data(self) -> int:
@@ -58,16 +59,16 @@ class BatchDecoder:
 
     def _entropy_many(self, structures):
         workers = self.cfg.num_threads or os.cpu_count() or 1
+
+        def one(s):
+            planes = self._pool.acquire(s.frame)
+            return decoder_mod._entropy_decode(s, self.cfg, planes)
+
         with metrics.timer("entropy_batch", items=len(structures)):
             if workers == 1 or len(structures) == 1:
-                return [decoder_mod._entropy_decode(s, self.cfg) for s in structures]
+                return [one(s) for s in structures]
             with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-                return list(
-                    pool.map(
-                        lambda s: decoder_mod._entropy_decode(s, self.cfg),
-                        structures,
-                    )
-                )
+                return list(pool.map(one, structures))
 
     def decode_batch(self, datas: list[bytes]) -> np.ndarray:
         """Decode a batch of SAME-GEOMETRY JPEGs -> [B, H, W, 3] uint8."""
@@ -136,6 +137,10 @@ class BatchDecoder:
             )
             for ci in range(frame.ncs)
         ]
+        # np.stack copied the coefficients; the per-image planes can go
+        # back to the pool for the next batch.
+        for planes, _qts in results:
+            self._pool.release(planes)
         stage = _batched_stage(key, self.mesh, frame.ncs)
         rgb = np.asarray(jax.device_get(stage(*batches)))
         return rgb[:b]
