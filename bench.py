@@ -90,7 +90,7 @@ def main() -> None:
     for _ in range(7):
         t0 = time.perf_counter()
         structure = parse(data, cfg)
-        p = pool.acquire(structure.frame)
+        p = pool.acquire(structure)
         planes, qts = decoder_mod._entropy_decode(structure, cfg, p)
         t_host.append(time.perf_counter() - t0)
         pool.release(planes)

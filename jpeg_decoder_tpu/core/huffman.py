@@ -21,6 +21,7 @@ serializers huff_table.c:69-163 are dead/buggy; these are built from spec).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -109,6 +110,32 @@ class FlatLut:
         sym, length = self.decode_peek(reader.peek16())
         reader.skip(length)
         return sym
+
+
+@dataclasses.dataclass(frozen=True)
+class _LutCacheKey:
+    counts: bytes
+    symbols: bytes
+
+
+@functools.lru_cache(maxsize=256)
+def _flat_lut_cached(key: _LutCacheKey) -> "FlatLut":
+    spec = HuffTableSpec(
+        table_class=0,
+        table_id=0,
+        counts=np.frombuffer(key.counts, dtype=np.uint8).copy(),
+        symbols=np.frombuffer(key.symbols, dtype=np.uint8).copy(),
+    )
+    return build_flat_lut(build_canonical(spec))
+
+
+def flat_lut_for_spec(spec: HuffTableSpec) -> "FlatLut":
+    """Content-cached flat LUT: the same DHT bytes recur across a stream of
+    same-encoder JPEGs (serving), so the 2x64Ki-entry build runs once per
+    distinct table, not once per image."""
+    return _flat_lut_cached(
+        _LutCacheKey(spec.counts.tobytes(), spec.symbols.tobytes())
+    )
 
 
 def build_flat_lut(canon: CanonicalTable) -> FlatLut:

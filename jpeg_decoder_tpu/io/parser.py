@@ -204,6 +204,12 @@ def _parse_sos_header(data: np.ndarray, off: int) -> tuple[ScanHeader, int]:
     ss = int(data[p])
     se = int(data[p + 1])
     ahal = int(data[p + 2])
+    # Spectral-selection bounds (spec B.2.3): unchecked values would drive
+    # out-of-bounds coefficient writes in the native decoder.
+    if ss > 63 or se > 63 or (se and ss > se):
+        raise JpegFormatError(
+            f"bad spectral selection ss={ss} se={se}", offset=off
+        )
     sh = ScanHeader(
         components=tuple(comps), ss=ss, se=se, ah=(ahal >> 4) & 0xF, al=ahal & 0xF
     )

@@ -160,9 +160,14 @@ class PlanePool:
 
     Fresh planes cost ~5 ms of page faults per 4K image (lazy-zeroed
     calloc touched during decode); reuse removes that in steady-state
-    serving. Sequential scans overwrite every coefficient of every covered
-    block, so reused planes need no re-zeroing; progressive accumulation
-    requires zeros, which acquire() restores explicitly.
+    serving. Skipping the re-zero on reuse is only sound when the incoming
+    stream provably overwrites EVERY plane block: a single-scan sequential
+    frame with all components interleaved (the common baseline shape —
+    interleaved wrap == plane width, so the MCU walk covers the whole
+    padded grid). Everything else (progressive accumulation, partial or
+    non-interleaved scans, which skip MCU-padding block columns) gets
+    explicitly zeroed planes — otherwise a reused buffer could leak the
+    PREVIOUS image's coefficients into this one's padding regions.
     """
 
     def __init__(self) -> None:
@@ -171,14 +176,23 @@ class PlanePool:
         self._pool: dict[FrameHeader, list[CoefficientPlanes]] = {}
         self._lock = threading.Lock()
 
-    def acquire(self, frame: FrameHeader) -> CoefficientPlanes:
+    @staticmethod
+    def _full_coverage(structure: JpegStructure) -> bool:
+        frame = structure.frame
+        if frame.process == Encoding.PROGRESSIVE_DCT:
+            return False
+        return all(
+            scan.header.nics == frame.ncs for scan in structure.scans
+        )
+
+    def acquire(self, structure: JpegStructure) -> CoefficientPlanes:
+        frame = structure.frame
         with self._lock:
             free = self._pool.get(frame)
-            if free:
-                planes = free.pop()
-            else:
-                return CoefficientPlanes(frame)
-        if frame.process == Encoding.PROGRESSIVE_DCT:
+            planes = free.pop() if free else None
+        if planes is None:
+            return CoefficientPlanes(frame)
+        if not self._full_coverage(structure):
             for p in planes.planes:
                 p.fill(0)
         return planes

@@ -62,7 +62,11 @@ def build(force: bool = False) -> Path | None:
         return None
     BUILD_DIR.mkdir(parents=True, exist_ok=True)
     march = [] if os.environ.get("JPEGTPU_PORTABLE_BUILD") else ["-march=native"]
-    cmd = ["g++", *CXX_FLAGS, *march, *srcs, "-o", str(out)]
+    # Compile to a process-unique temp path and atomically rename: multiple
+    # processes may build concurrently (multi-host serving), and a reader
+    # must never dlopen a half-written .so.
+    tmp = out.with_suffix(f".tmp.{os.getpid()}")
+    cmd = ["g++", *CXX_FLAGS, *march, *srcs, "-o", str(tmp)]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired) as e:
@@ -70,7 +74,9 @@ def build(force: bool = False) -> Path | None:
         return None
     if r.returncode != 0:
         log.error("native build failed:\n%s", r.stderr[-4000:])
+        tmp.unlink(missing_ok=True)
         return None
+    os.replace(tmp, out)
     # Drop stale builds.
     for old in BUILD_DIR.glob("libjdt-*.so"):
         if old != out:

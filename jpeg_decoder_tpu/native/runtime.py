@@ -17,7 +17,7 @@ import threading
 
 import numpy as np
 
-from ..core.huffman import build_canonical, build_flat_lut
+from ..core.huffman import build_canonical, build_flat_lut, flat_lut_for_spec
 from ..core.driver import run_scans
 from ..core.types import CoefficientPlanes, JpegStructure, Scan
 from ..io.markers import Encoding
@@ -29,6 +29,7 @@ from . import build as build_mod
 log = get_logger("native.runtime")
 
 _lib = None
+_lib_failed = False  # cache build/load failures: retry only on new process
 _lib_lock = threading.Lock()
 _STATUS = {
     1: "invalid Huffman code",
@@ -39,17 +40,21 @@ _STATUS = {
 
 
 def _load():
-    global _lib
+    global _lib, _lib_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_failed:
+            return None  # don't re-run g++ per decode after one failure
         path = build_mod.build()
         if path is None:
+            _lib_failed = True
             return None
         try:
             lib = ctypes.CDLL(str(path))
         except OSError as e:
             log.error("cannot load native runtime: %s", e)
+            _lib_failed = True
             return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.jdt_version.restype = ctypes.c_int32
@@ -110,6 +115,7 @@ def _load():
         lib.jdt_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         if lib.jdt_version() != 1:
             log.error("native runtime ABI mismatch")
+            _lib_failed = True
             return None
         _lib = lib
         return _lib
@@ -155,7 +161,7 @@ def scan_layout(structure: JpegStructure, scan: Scan):
                     f"scan uses undefined {'DC' if table_class == 0 else 'AC'}"
                     f" table {table_id}"
                 )
-            flat = build_flat_lut(build_canonical(tables[table_id]))
+            flat = flat_lut_for_spec(tables[table_id])
             lut_index[key] = len(luts)
             luts.append(flat)
         return lut_index[key]

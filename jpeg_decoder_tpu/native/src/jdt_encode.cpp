@@ -52,7 +52,9 @@ struct BitPacker {
 };
 
 inline int csize_fast(int32_t v) {  // bit category (Table F.1)
-  uint32_t a = v < 0 ? static_cast<uint32_t>(-v) : static_cast<uint32_t>(v);
+  // 0u - cast avoids signed-overflow UB for INT32_MIN.
+  uint32_t a = v < 0 ? 0u - static_cast<uint32_t>(v)
+                     : static_cast<uint32_t>(v);
   return a == 0 ? 0 : 32 - __builtin_clz(a);
 }
 
@@ -83,7 +85,9 @@ int pack_range(const EncodeArgs& a, int64_t mcu_lo, int64_t mcu_hi,
       int32_t diff = dc - preds[sci];
       preds[sci] = dc;
       int s = csize_fast(diff);
-      if (dct.size[s] == 0) return 1;
+      // Out-of-range magnitudes must error, not alias into the run nibble
+      // of (run << 4 | s) and emit a decodable-but-wrong symbol.
+      if (s > 15 || dct.size[s] == 0) return 1;
       bp.put(dct.code[s], dct.size[s]);
       if (s) bp.put(diff >= 0 ? diff : diff + (1 << s) - 1, s);
 
@@ -100,6 +104,7 @@ int pack_range(const EncodeArgs& a, int64_t mcu_lo, int64_t mcu_hi,
           run -= 16;
         }
         s = csize_fast(v);
+        if (s > 15) return 1;
         int sym = (run << 4) | s;
         if (act.size[sym] == 0) return 1;
         bp.put(act.code[sym], act.size[sym]);

@@ -146,9 +146,14 @@ struct BitReader {
     return v;
   }
 
-  // More than one fabricated byte consumed => genuinely truncated input
-  // (a partial final byte of padding is normal).
-  inline bool overran() const { return padded > 8; }
+  // Truncation test: consuming more than the 7 possible 1-fill alignment
+  // bits past the real (unstuffed) end means the stream is genuinely
+  // short — matches the oracle BitReader's strictness (bitstream.py).
+  inline bool overran() const {
+    if (padded == 0) return false;
+    int64_t real_bits = 8 * ((end - origin) - skips);
+    return unstuffed_pos() > real_bits + 7;
+  }
 };
 
 inline int32_t extend(int32_t v, int n) {

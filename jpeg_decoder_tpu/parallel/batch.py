@@ -61,7 +61,7 @@ class BatchDecoder:
         workers = self.cfg.num_threads or os.cpu_count() or 1
 
         def one(s):
-            planes = self._pool.acquire(s.frame)
+            planes = self._pool.acquire(s)
             return decoder_mod._entropy_decode(s, self.cfg, planes)
 
         with metrics.timer("entropy_batch", items=len(structures)):
