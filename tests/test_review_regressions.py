@@ -137,3 +137,102 @@ def test_dnl_correct_quirks_consistent():
     # must at least satisfy y >= ceil-int and be self-consistent.
     assert cor.components[1].y == -(-49 * 1 // 3)
     assert ref.components[1].y >= cor.components[1].y
+
+
+def test_se_out_of_range_rejected():
+    """SOS with se > 63 must be rejected at parse (was an OOB write risk in
+    the native progressive decoder)."""
+    name, data = corpus.progressive_corpus()[0]
+    s = parse(data)
+    # Find an AC scan's SOS (ss>0) and stomp its se byte to 255.
+    bad = bytearray(data)
+    pos = 0
+    while True:
+        idx = bad.find(b"\xff\xda", pos)
+        if idx < 0:
+            pytest.skip("no AC scan found")
+        nics = bad[idx + 4]
+        ss_off = idx + 5 + 2 * nics
+        if bad[ss_off] > 0:  # AC scan
+            bad[ss_off + 1] = 255
+            break
+        pos = idx + 2
+    with pytest.raises(JpegError):
+        parse(bytes(bad))
+
+
+def _component_separate_stream(rng):
+    """3-component sequential stream with three NON-interleaved scans
+    (legal JPEG; partial plane coverage per scan)."""
+    from jpeg_decoder_tpu.core import entropy_encode, huffman
+    from jpeg_decoder_tpu.io import writer
+
+    nb = 2  # blocks per side per component
+    comps = []
+    for ci in range(3):
+        blocks = np.zeros((nb * nb, 64), dtype=np.int32)
+        blocks[:, 0] = rng.integers(-200, 200, nb * nb)
+        comps.append(blocks)
+    dc = huffman.annex_k_dc_luminance()
+    ac = huffman.annex_k_ac_luminance()
+    dct = huffman.build_encode_table(dc)
+    act = huffman.build_encode_table(ac)
+    qt = np.full(64, 8, dtype=np.uint16)
+    parts = [
+        writer.soi(), writer.dqt(0, qt),
+        writer.sof(nb * 8, nb * 8, [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]),
+        writer.dht(dc), writer.dht(ac),
+    ]
+    for ci in range(3):
+        entropy = entropy_encode.encode_blocks(
+            [(0, comps[ci][i]) for i in range(nb * nb)],
+            [dct], [act], [(0, 0)], 1, 0,
+        )
+        parts.append(writer.sos([(ci + 1, 0, 0)]))
+        parts.append(entropy)
+    parts.append(writer.eoi())
+    return b"".join(parts), comps
+
+
+def test_plane_pool_no_cross_image_leak():
+    """Reused planes must not leak a previous image's coefficients when the
+    incoming stream doesn't cover every block (non-interleaved scans)."""
+    from jpeg_decoder_tpu.models.decoder import PlanePool, _entropy_decode
+
+    rng = np.random.default_rng(31)
+    data, comps = _component_separate_stream(rng)
+    s = parse(data)
+    cfg = DecodeConfig(entropy_backend=EntropyBackend.NUMPY)
+    pool = PlanePool()
+    planes = pool.acquire(s)
+    # Dirty the planes as if a previous image had used them.
+    for p in planes.planes:
+        p.fill(12345)
+    pool.release(planes)
+    planes2 = pool.acquire(s)  # partial coverage -> must be zeroed
+    for p in planes2.planes:
+        assert not np.any(p == 12345)
+    got, _ = _entropy_decode(s, cfg, planes2)
+    want, _ = _entropy_decode(s, cfg)  # fresh planes
+    for ci in range(3):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+def test_plane_pool_reuse_safe_for_interleaved():
+    """Fully-interleaved sequential frames skip the re-zero and still decode
+    identically after a dirty reuse."""
+    from jpeg_decoder_tpu.models.decoder import PlanePool, _entropy_decode
+
+    name, data = corpus.baseline_corpus()[5]  # rgb420_q90, interleaved
+    s = parse(data)
+    cfg = DecodeConfig(entropy_backend=EntropyBackend.NUMPY)
+    pool = PlanePool()
+    planes = pool.acquire(s)
+    for p in planes.planes:
+        p.fill(-7777)
+    pool.release(planes)
+    planes2 = pool.acquire(s)
+    got, _ = _entropy_decode(s, cfg, planes2)
+    want, _ = _entropy_decode(s, cfg)
+    for ci in range(3):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
