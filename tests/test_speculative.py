@@ -85,3 +85,30 @@ def test_speculative_single_thread_config_skips():
     data = _gray_jpeg(1024, 1024, seed=2)
     s, planes, used = _spec_applies(data, CFG.replace(num_threads=1))
     assert not used
+
+
+def test_speculative_corruption_never_crashes():
+    """Corrupted large no-DRI streams: the speculative path must either
+    produce the same structured error/fallback behavior as serial — never
+    wrong silent output differing from the serial path's successful decode."""
+    data = _gray_jpeg(768, 512, seed=77)
+    rng = np.random.default_rng(13)
+    s0 = parse(data)
+    span = s0.scans[0].span
+    for _ in range(15):
+        bad = bytearray(data)
+        pos = int(rng.integers(span.start, span.end))
+        bad[pos] ^= 1 << int(rng.integers(0, 8))
+        bad = bytes(bad)
+        try:
+            serial, _ = nr.entropy_decode(parse(bad), CFG.replace(num_threads=1))
+            serial_ok = True
+        except Exception:
+            serial_ok = False
+        try:
+            spec, _ = nr.entropy_decode(parse(bad), CFG)
+            spec_ok = True
+        except Exception:
+            spec_ok = False
+        if serial_ok and spec_ok:
+            np.testing.assert_array_equal(spec.plane(0), serial.plane(0))
