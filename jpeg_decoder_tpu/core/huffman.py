@@ -92,10 +92,21 @@ class FlatLut:
 
     lut_symbol[peek16] = decoded symbol byte; lut_length[peek16] = code length
     in bits (0 marks an invalid prefix). Size: 2 * 64 KiB per table.
+
+    The native runtime's derived tables (combined/first-level/value-resolved;
+    layouts documented in native/src/jdt_entropy.cpp HuffLut) are built here
+    vectorized and cached with the table content, so the C++ side does zero
+    per-scan table work:
+      lut16c [65536] u16 : (len << 8) | symbol
+      lut12c [4096]  u16 : same, codes <= 12 bits only (0 = miss)
+      vlut   [4096]  i32 : AC fast path — value/total/run/kind packed
     """
 
     lut_symbol: np.ndarray  # (65536,) uint8
     lut_length: np.ndarray  # (65536,) uint8
+    lut16c: np.ndarray = None  # (65536,) uint16
+    lut12c: np.ndarray = None  # (4096,) uint16
+    vlut: np.ndarray = None  # (4096,) int32
 
     def decode_peek(self, peek16: int) -> tuple[int, int]:
         length = int(self.lut_length[peek16])
@@ -155,7 +166,41 @@ def build_flat_lut(canon: CanonicalTable) -> FlatLut:
             end = (code + 1) << span
             lut_symbol[start:end] = spec.symbols[base + (code - lo)]
             lut_length[start:end] = length
-    return FlatLut(lut_symbol=lut_symbol, lut_length=lut_length)
+
+    # Derived native-runtime tables (vectorized; see class docstring).
+    lut16c = (lut_length.astype(np.uint16) << 8) | lut_symbol
+    j12 = np.arange(4096) << 4
+    len12 = lut_length[j12].astype(np.int64)
+    sym12 = lut_symbol[j12].astype(np.int64)
+    ok12 = (len12 > 0) & (len12 <= 12)
+    lut12c = np.where(ok12, lut16c[j12], 0).astype(np.uint16)
+
+    KIND_EOB, KIND_ZRL, KIND_SLOW = 1, 2, 3
+    run = sym12 >> 4
+    size = sym12 & 0x0F
+    total = len12 + size
+    coef_ok = ok12 & (sym12 != 0) & (sym12 != 0xF0) & (total <= 12)
+    shift = np.clip(12 - total, 0, 12)
+    vbits = (np.arange(4096) >> shift) & ((1 << np.clip(size, 0, 12)) - 1)
+    half = np.where(size > 0, 1 << np.maximum(size - 1, 0), 0)
+    value = np.where((size > 0) & (vbits < half), vbits - 2 * half + 1, vbits)
+    vlut = np.full(4096, KIND_SLOW << 26, dtype=np.int64)
+    vlut = np.where(
+        ok12 & (sym12 == 0), (KIND_EOB << 26) | (len12 << 16), vlut
+    )
+    vlut = np.where(
+        ok12 & (sym12 == 0xF0), (KIND_ZRL << 26) | (len12 << 16), vlut
+    )
+    vlut = np.where(
+        coef_ok, (run << 22) | (total << 16) | (value & 0xFFFF), vlut
+    )
+    return FlatLut(
+        lut_symbol=lut_symbol,
+        lut_length=lut_length,
+        lut16c=np.ascontiguousarray(lut16c),
+        lut12c=np.ascontiguousarray(lut12c),
+        vlut=np.ascontiguousarray(vlut.astype(np.int32)),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -59,24 +59,27 @@ def _load():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.jdt_version.restype = ctypes.c_int32
         lib.jdt_decode_sequential.restype = ctypes.c_int32
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        i32pp = ctypes.POINTER(ctypes.c_int32)
         lib.jdt_decode_sequential.argtypes = [
             u8p,                                 # data
             ctypes.POINTER(ctypes.c_int64),      # seg_bounds
             ctypes.c_int64,                      # n_segs
             ctypes.c_int64,                      # total_mcus
             ctypes.c_int64,                      # ri
-            ctypes.POINTER(ctypes.c_int32),      # unit_params
+            i32pp,                               # unit_params
             ctypes.c_int32,                      # n_units
-            ctypes.POINTER(u8p),                 # lut_symbols
-            ctypes.POINTER(u8p),                 # lut_lengths
+            ctypes.POINTER(u16p),                # lut12s
+            ctypes.POINTER(u16p),                # lut16s
+            ctypes.POINTER(i32pp),               # vluts
             ctypes.c_int32,                      # n_luts
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # planes
+            ctypes.POINTER(i32pp),               # planes
             ctypes.c_int32,                      # n_threads
             ctypes.POINTER(ctypes.c_int64),      # err_out
         ]
         lib.jdt_decode_progressive.restype = ctypes.c_int32
         lib.jdt_decode_progressive.argtypes = (
-            lib.jdt_decode_sequential.argtypes[:11]
+            lib.jdt_decode_sequential.argtypes[:12]
             + [ctypes.c_int32] * 4               # ss, se, ah, al
             + [ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
         )
@@ -86,10 +89,10 @@ def _load():
             ctypes.c_int64,                      # scan_start
             ctypes.c_int64,                      # scan_end
             ctypes.c_int64,                      # total_dus
-            ctypes.POINTER(ctypes.c_int32),      # unit_params (11)
-            u8p, u8p,                            # dc lut sym/len
-            u8p, u8p,                            # ac lut sym/len
-            ctypes.POINTER(ctypes.c_int32),      # plane
+            i32pp,                               # unit_params (11)
+            u16p, u16p, i32pp,                   # dc lut12/lut16/vlut
+            u16p, u16p, i32pp,                   # ac lut12/lut16/vlut
+            i32pp,                               # plane
             ctypes.c_int32,                      # n_threads
         ]
         lib.jdt_encode_scan.restype = ctypes.c_int32
@@ -113,7 +116,7 @@ def _load():
         ]
         lib.jdt_free.restype = None
         lib.jdt_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
-        if lib.jdt_version() != 1:
+        if lib.jdt_version() != 2:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -261,6 +264,7 @@ def _try_speculative(
     plane = planes.plane(ci)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
     data = np.ascontiguousarray(structure.data)
     rc = lib.jdt_decode_sequential_spec(
         data.ctypes.data_as(u8p),
@@ -268,10 +272,12 @@ def _try_speculative(
         int(scan.span.end),
         total_mcus,
         np.ascontiguousarray(u, dtype=np.int32).ctypes.data_as(i32p),
-        dc_lut.lut_symbol.ctypes.data_as(u8p),
-        dc_lut.lut_length.ctypes.data_as(u8p),
-        ac_lut.lut_symbol.ctypes.data_as(u8p),
-        ac_lut.lut_length.ctypes.data_as(u8p),
+        dc_lut.lut12c.ctypes.data_as(u16p),
+        dc_lut.lut16c.ctypes.data_as(u16p),
+        dc_lut.vlut.ctypes.data_as(i32p),
+        ac_lut.lut12c.ctypes.data_as(u16p),
+        ac_lut.lut16c.ctypes.data_as(u16p),
+        ac_lut.vlut.ctypes.data_as(i32p),
         plane.ctypes.data_as(i32p),
         cfg.num_threads,
     )
@@ -306,13 +312,17 @@ def decode_scan_native(
     data = np.ascontiguousarray(structure.data)
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    lut_sym = (u8p * len(luts))(
-        *[lut.lut_symbol.ctypes.data_as(u8p) for lut in luts]
-    )
-    lut_len = (u8p * len(luts))(
-        *[lut.lut_length.ctypes.data_as(u8p) for lut in luts]
-    )
+    u16p = ctypes.POINTER(ctypes.c_uint16)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    lut12s = (u16p * len(luts))(
+        *[lut.lut12c.ctypes.data_as(u16p) for lut in luts]
+    )
+    lut16s = (u16p * len(luts))(
+        *[lut.lut16c.ctypes.data_as(u16p) for lut in luts]
+    )
+    vluts = (i32p * len(luts))(
+        *[lut.vlut.ctypes.data_as(i32p) for lut in luts]
+    )
     plane_ptrs = (i32p * frame.ncs)(
         *[planes.plane(i).ctypes.data_as(i32p) for i in range(frame.ncs)]
     )
@@ -326,8 +336,9 @@ def decode_scan_native(
         scan.restart_interval,
         params.ctypes.data_as(i32p),
         params.shape[0],
-        lut_sym,
-        lut_len,
+        lut12s,
+        lut16s,
+        vluts,
         len(luts),
         plane_ptrs,
     )

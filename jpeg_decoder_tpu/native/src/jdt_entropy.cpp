@@ -164,58 +164,23 @@ inline int32_t extend(int32_t v, int n) {
 }
 
 struct HuffLut {
-  // Two-level decode LUT built from the Python-side flat tables:
-  //   lut12 [4096]  — codes of length <= 12 keyed by the next 12 bits;
-  //                   entry = (len << 8) | symbol, 0 = "go to lut16".
-  //                   8 KB: L1-resident, hits on virtually every symbol
-  //                   (JPEG code lengths concentrate well below 12 bits).
-  //   lut16 [65536] — all codes keyed by the next 16 bits; entry likewise,
-  //                   len 0 = invalid prefix.
-  std::vector<uint16_t> lut12;
-  std::vector<uint16_t> lut16;
-  // vlut [4096] — AC fast path: code AND extend bits resolved by one
-  // 12-bit-keyed lookup (libjpeg-turbo-style). Packed int32 entry:
-  //   [15:0]  coefficient value (int16)
-  //   [21:16] total bits consumed (code + extend)
-  //   [25:22] zero run
-  //   [27:26] kind: 0 = coefficient, 1 = EOB, 2 = ZRL, 3 = slow path
-  std::vector<int32_t> vlut;
+  // Views over Python-prebuilt, content-cached decode tables
+  // (core/huffman.build_flat_lut). Layouts:
+  //   lut12 [4096]  u16 — codes <= 12 bits keyed by the next 12 bits;
+  //                 entry = (len << 8) | symbol, 0 = "go to lut16".
+  //                 8 KB: L1-resident, hits on virtually every symbol.
+  //   lut16 [65536] u16 — all codes keyed by the next 16 bits; len 0 =
+  //                 invalid prefix.
+  //   vlut  [4096]  i32 — AC fast path: code AND extend bits resolved by
+  //                 one 12-bit lookup (libjpeg-turbo-style):
+  //                   [15:0]  coefficient value (int16)
+  //                   [21:16] total bits consumed (code + extend)
+  //                   [25:22] zero run
+  //                   [27:26] kind: 0 coef, 1 EOB, 2 ZRL, 3 slow path
+  const uint16_t* lut12 = nullptr;
+  const uint16_t* lut16 = nullptr;
+  const int32_t* vlut = nullptr;
   enum { KIND_COEF = 0, KIND_EOB = 1, KIND_ZRL = 2, KIND_SLOW = 3 };
-
-  void build(const uint8_t* symbol, const uint8_t* length) {
-    lut16.resize(65536);
-    lut12.assign(4096, 0);
-    for (uint32_t i = 0; i < 65536; i++) {
-      lut16[i] = static_cast<uint16_t>((length[i] << 8) | symbol[i]);
-    }
-    for (uint32_t i = 0; i < 4096; i++) {
-      uint32_t j = i << 4;
-      int len = length[j];
-      if (len != 0 && len <= 12) lut12[i] = lut16[j];
-    }
-    vlut.assign(4096, KIND_SLOW << 26);
-    for (uint32_t i = 0; i < 4096; i++) {
-      uint32_t j = i << 4;
-      int len = length[j];
-      if (len == 0 || len > 12) continue;
-      int sym = symbol[j];
-      int run = sym >> 4;
-      int size = sym & 0x0F;
-      if (sym == 0x00) {
-        vlut[i] = (KIND_EOB << 26) | (len << 16);
-      } else if (sym == 0xF0) {
-        vlut[i] = (KIND_ZRL << 26) | (len << 16);
-      } else if (len + size <= 12) {
-        int32_t vbits =
-            size ? static_cast<int32_t>((i >> (12 - len - size)) &
-                                        ((1u << size) - 1))
-                 : 0;
-        int32_t value = extend(vbits, size);
-        vlut[i] = (KIND_COEF << 26) | (run << 22) | ((len + size) << 16) |
-                  (value & 0xFFFF);
-      }
-    }
-  }
 
   inline int decode(BitReader& br, int32_t* sym) const {
     uint32_t idx = br.peek16();
@@ -531,8 +496,9 @@ int32_t run_segments(const ScanContext& c, int32_t n_threads, int64_t* err_out,
 ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
                           int64_t n_segs, int64_t total_mcus, int64_t ri,
                           const int32_t* unit_params, int32_t n_units,
-                          const uint8_t* const* lut_symbols,
-                          const uint8_t* const* lut_lengths, int32_t n_luts,
+                          const uint16_t* const* lut12s,
+                          const uint16_t* const* lut16s,
+                          const int32_t* const* vluts, int32_t n_luts,
                           int32_t** planes) {
   ScanContext c;
   c.data = data;
@@ -548,7 +514,7 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
   }
   c.luts.resize(n_luts);
   for (int32_t t = 0; t < n_luts; t++)
-    c.luts[t].build(lut_symbols[t], lut_lengths[t]);
+    c.luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t]};
   c.planes = planes;
   return c;
 }
@@ -793,21 +759,22 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
 
 extern "C" {
 
-int32_t jdt_version() { return 1; }
+int32_t jdt_version() { return 2; }
 
 // Sequential (baseline/extended) scan, segment-parallel.
 // unit_params: n_units x 11 int32 (see UnitLayout). err_out: [seg, mcu].
 int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
                               int64_t n_segs, int64_t total_mcus, int64_t ri,
                               const int32_t* unit_params, int32_t n_units,
-                              const uint8_t* const* lut_symbols,
-                              const uint8_t* const* lut_lengths,
+                              const uint16_t* const* lut12s,
+                              const uint16_t* const* lut16s,
+                              const int32_t* const* vluts,
                               int32_t n_luts, int32_t** planes,
                               int32_t n_threads, int64_t* err_out) {
   if (n_segs <= 0 || n_units <= 0 || n_luts <= 0) return JDT_ERR_BAD_ARG;
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
-                                unit_params, n_units, lut_symbols,
-                                lut_lengths, n_luts, planes);
+                                unit_params, n_units, lut12s, lut16s, vluts,
+                                n_luts, planes);
   return run_segments(c, n_threads, err_out, decode_segment_sequential);
 }
 
@@ -818,17 +785,16 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
 int32_t jdt_decode_sequential_spec(
     const uint8_t* data, int64_t scan_start, int64_t scan_end,
     int64_t total_dus, const int32_t* unit_params,
-    const uint8_t* lut_sym_dc, const uint8_t* lut_len_dc,
-    const uint8_t* lut_sym_ac, const uint8_t* lut_len_ac, int32_t* plane,
-    int32_t n_threads) {
+    const uint16_t* dc12, const uint16_t* dc16, const int32_t* dcv,
+    const uint16_t* ac12, const uint16_t* ac16, const int32_t* acv,
+    int32_t* plane, int32_t n_threads) {
   if (total_dus <= 0) return JDT_ERR_BAD_ARG;
   UnitLayout ul{unit_params[0], unit_params[1], unit_params[2],
                 unit_params[3], unit_params[4], unit_params[5],
                 unit_params[6], unit_params[7], unit_params[8],
                 unit_params[9], unit_params[10]};
-  HuffLut dc, ac;
-  dc.build(lut_sym_dc, lut_len_dc);
-  ac.build(lut_sym_ac, lut_len_ac);
+  HuffLut dc{dc12, dc16, dcv};
+  HuffLut ac{ac12, ac16, acv};
   return decode_speculative(data, scan_start, scan_end, total_dus, ul, dc,
                             ac, plane, n_threads);
 }
@@ -837,15 +803,16 @@ int32_t jdt_decode_sequential_spec(
 int32_t jdt_decode_progressive(const uint8_t* data, const int64_t* seg_bounds,
                                int64_t n_segs, int64_t total_mcus, int64_t ri,
                                const int32_t* unit_params, int32_t n_units,
-                               const uint8_t* const* lut_symbols,
-                               const uint8_t* const* lut_lengths,
+                               const uint16_t* const* lut12s,
+                               const uint16_t* const* lut16s,
+                               const int32_t* const* vluts,
                                int32_t n_luts, int32_t** planes,
                                int32_t ss, int32_t se, int32_t ah, int32_t al,
                                int32_t n_threads, int64_t* err_out) {
   if (n_segs <= 0 || n_units <= 0) return JDT_ERR_BAD_ARG;
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
-                                unit_params, n_units, lut_symbols,
-                                lut_lengths, n_luts, planes);
+                                unit_params, n_units, lut12s, lut16s, vluts,
+                                n_luts, planes);
   ProgParams pp{ss, se, ah, al};
   return run_segments(c, n_threads, err_out,
                       [&pp](const ScanContext& ctx, int64_t seg,
