@@ -107,6 +107,12 @@ class FlatLut:
     lut16c: np.ndarray = None  # (65536,) uint16
     lut12c: np.ndarray = None  # (4096,) uint16
     vlut: np.ndarray = None  # (4096,) int32
+    # Progressive-AC variant of vlut: symbols (r<<4)|0 are EOBn runs there,
+    # not zero coefficients; kinds: 0 coef, 1 EOBn, 2 ZRL, 3 slow. EOBn
+    # entries carry run in [25:22] and the CODE length in [21:16] (the r
+    # extension bits are read separately); coef entries carry the raw value
+    # (the decoder applies << al).
+    pvlut: np.ndarray = None  # (4096,) int32
 
     def decode_peek(self, peek16: int) -> tuple[int, int]:
         length = int(self.lut_length[peek16])
@@ -194,12 +200,32 @@ def build_flat_lut(canon: CanonicalTable) -> FlatLut:
     vlut = np.where(
         coef_ok, (run << 22) | (total << 16) | (value & 0xFFFF), vlut
     )
+
+    # Progressive-AC variant (spec G.1.2.2 semantics): size==0 means an
+    # EOBn run of (1<<run)+extra blocks (run<15) or ZRL (run==15); the r
+    # extension bits must still be in the stream, so EOBn entries are only
+    # fast-pathed when len is known (extension read by the decoder).
+    KIND_EOBN = 1
+    pvlut = np.full(4096, KIND_SLOW << 26, dtype=np.int64)
+    eobn_ok = ok12 & (size == 0) & (run != 15)
+    pvlut = np.where(
+        eobn_ok, (KIND_EOBN << 26) | (run << 22) | (len12 << 16), pvlut
+    )
+    pvlut = np.where(
+        ok12 & (sym12 == 0xF0), (KIND_ZRL << 26) | (len12 << 16), pvlut
+    )
+    pvlut = np.where(
+        coef_ok & (size > 0),
+        (run << 22) | (total << 16) | (value & 0xFFFF),
+        pvlut,
+    )
     return FlatLut(
         lut_symbol=lut_symbol,
         lut_length=lut_length,
         lut16c=np.ascontiguousarray(lut16c),
         lut12c=np.ascontiguousarray(lut12c),
         vlut=np.ascontiguousarray(vlut.astype(np.int32)),
+        pvlut=np.ascontiguousarray(pvlut.astype(np.int32)),
     )
 
 

@@ -72,6 +72,7 @@ def _load():
             ctypes.POINTER(u16p),                # lut12s
             ctypes.POINTER(u16p),                # lut16s
             ctypes.POINTER(i32pp),               # vluts
+            ctypes.POINTER(i32pp),               # pvluts
             ctypes.c_int32,                      # n_luts
             ctypes.POINTER(i32pp),               # planes
             ctypes.c_int32,                      # n_threads
@@ -79,7 +80,7 @@ def _load():
         ]
         lib.jdt_decode_progressive.restype = ctypes.c_int32
         lib.jdt_decode_progressive.argtypes = (
-            lib.jdt_decode_sequential.argtypes[:12]
+            lib.jdt_decode_sequential.argtypes[:13]
             + [ctypes.c_int32] * 4               # ss, se, ah, al
             + [ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
         )
@@ -116,7 +117,7 @@ def _load():
         ]
         lib.jdt_free.restype = None
         lib.jdt_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
-        if lib.jdt_version() != 2:
+        if lib.jdt_version() != 3:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -323,6 +324,9 @@ def decode_scan_native(
     vluts = (i32p * len(luts))(
         *[lut.vlut.ctypes.data_as(i32p) for lut in luts]
     )
+    pvluts = (i32p * len(luts))(
+        *[lut.pvlut.ctypes.data_as(i32p) for lut in luts]
+    )
     plane_ptrs = (i32p * frame.ncs)(
         *[planes.plane(i).ctypes.data_as(i32p) for i in range(frame.ncs)]
     )
@@ -339,6 +343,7 @@ def decode_scan_native(
         lut12s,
         lut16s,
         vluts,
+        pvluts,
         len(luts),
         plane_ptrs,
     )

@@ -177,10 +177,16 @@ struct HuffLut {
   //                   [21:16] total bits consumed (code + extend)
   //                   [25:22] zero run
   //                   [27:26] kind: 0 coef, 1 EOB, 2 ZRL, 3 slow path
+  //   pvlut [4096]  i32 — progressive-AC variant: kind 1 = EOBn (run in
+  //                 [25:22], CODE length in [21:16]; the r extension bits
+  //                 are read after); coef values are raw (decoder applies
+  //                 << al).
   const uint16_t* lut12 = nullptr;
   const uint16_t* lut16 = nullptr;
   const int32_t* vlut = nullptr;
+  const int32_t* pvlut = nullptr;
   enum { KIND_COEF = 0, KIND_EOB = 1, KIND_ZRL = 2, KIND_SLOW = 3 };
+  enum { PKIND_COEF = 0, PKIND_EOBN = 1, PKIND_ZRL = 2, PKIND_SLOW = 3 };
 
   inline int decode(BitReader& br, int32_t* sym) const {
     uint32_t idx = br.peek16();
@@ -372,14 +378,42 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
         // (decode.c:1055) — that is a bug, not a parity target.
         if (br.bit()) coef[0] |= p1;
       } else if (pp.ah == 0) {
-        // AC first pass (G.1.2.2).
+        // AC first pass (G.1.2.2) — pvlut fast path: code + extend (or
+        // EOBn run) resolved per 12-bit lookup; slow path for long codes.
         if (eobrun > 0) {
           eobrun--;
         } else {
+          const HuffLut& hl = c.luts[ul.ac_lut];
           int k = pp.ss;
           while (k <= pp.se) {
+            br.fill();
+            int32_t en = hl.pvlut[static_cast<uint32_t>(br.buf >> 52)];
+            int kind = (en >> 26) & 3;
+            if (kind == HuffLut::PKIND_COEF) {
+              k += (en >> 22) & 0x0F;
+              if (k > pp.se) { *err_mcu = m; return JDT_ERR_COEF_RANGE; }
+              coef[k] = static_cast<int32_t>(
+                            static_cast<int16_t>(en & 0xFFFF))
+                        << pp.al;
+              br.consume((en >> 16) & 0x3F);
+              k++;
+              continue;
+            }
+            if (kind == HuffLut::PKIND_EOBN) {
+              int run = (en >> 22) & 0x0F;
+              br.consume((en >> 16) & 0x3F);
+              eobrun = (1 << run) - 1;
+              if (run) eobrun += br.receive(run);
+              break;
+            }
+            if (kind == HuffLut::PKIND_ZRL) {
+              br.consume((en >> 16) & 0x3F);
+              k += 16;
+              continue;
+            }
+            // Slow path: full 16-bit decode.
             int32_t s;
-            int rc = c.luts[ul.ac_lut].decode(br, &s);
+            int rc = hl.decode(br, &s);
             if (rc != JDT_OK) { *err_mcu = m; return rc; }
             int run = (s >> 4) & 0x0F;
             int size = s & 0x0F;
@@ -498,7 +532,8 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
                           const int32_t* unit_params, int32_t n_units,
                           const uint16_t* const* lut12s,
                           const uint16_t* const* lut16s,
-                          const int32_t* const* vluts, int32_t n_luts,
+                          const int32_t* const* vluts,
+                          const int32_t* const* pvluts, int32_t n_luts,
                           int32_t** planes) {
   ScanContext c;
   c.data = data;
@@ -514,7 +549,7 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
   }
   c.luts.resize(n_luts);
   for (int32_t t = 0; t < n_luts; t++)
-    c.luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t]};
+    c.luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t], pvluts[t]};
   c.planes = planes;
   return c;
 }
@@ -759,7 +794,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
 
 extern "C" {
 
-int32_t jdt_version() { return 2; }
+int32_t jdt_version() { return 3; }
 
 // Sequential (baseline/extended) scan, segment-parallel.
 // unit_params: n_units x 11 int32 (see UnitLayout). err_out: [seg, mcu].
@@ -769,12 +804,13 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
                               const uint16_t* const* lut12s,
                               const uint16_t* const* lut16s,
                               const int32_t* const* vluts,
+                              const int32_t* const* pvluts,
                               int32_t n_luts, int32_t** planes,
                               int32_t n_threads, int64_t* err_out) {
   if (n_segs <= 0 || n_units <= 0 || n_luts <= 0) return JDT_ERR_BAD_ARG;
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
                                 unit_params, n_units, lut12s, lut16s, vluts,
-                                n_luts, planes);
+                                pvluts, n_luts, planes);
   return run_segments(c, n_threads, err_out, decode_segment_sequential);
 }
 
@@ -793,8 +829,8 @@ int32_t jdt_decode_sequential_spec(
                 unit_params[3], unit_params[4], unit_params[5],
                 unit_params[6], unit_params[7], unit_params[8],
                 unit_params[9], unit_params[10]};
-  HuffLut dc{dc12, dc16, dcv};
-  HuffLut ac{ac12, ac16, acv};
+  HuffLut dc{dc12, dc16, dcv, nullptr};
+  HuffLut ac{ac12, ac16, acv, nullptr};
   return decode_speculative(data, scan_start, scan_end, total_dus, ul, dc,
                             ac, plane, n_threads);
 }
@@ -806,13 +842,14 @@ int32_t jdt_decode_progressive(const uint8_t* data, const int64_t* seg_bounds,
                                const uint16_t* const* lut12s,
                                const uint16_t* const* lut16s,
                                const int32_t* const* vluts,
+                               const int32_t* const* pvluts,
                                int32_t n_luts, int32_t** planes,
                                int32_t ss, int32_t se, int32_t ah, int32_t al,
                                int32_t n_threads, int64_t* err_out) {
   if (n_segs <= 0 || n_units <= 0) return JDT_ERR_BAD_ARG;
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
                                 unit_params, n_units, lut12s, lut16s, vluts,
-                                n_luts, planes);
+                                pvluts, n_luts, planes);
   ProgParams pp{ss, se, ah, al};
   return run_segments(c, n_threads, err_out,
                       [&pp](const ScanContext& ctx, int64_t seg,
