@@ -181,9 +181,17 @@ class PlanePool:
         frame = structure.frame
         if frame.process == Encoding.PROGRESSIVE_DCT:
             return False
-        return all(
-            scan.header.nics == frame.ncs for scan in structure.scans
-        )
+        if not all(scan.header.nics == frame.ncs for scan in structure.scans):
+            return False
+        if frame.ncs == 1:
+            # A single-component scan is non-interleaved by definition: it
+            # covers the component's own ceil(x/8) x ceil(y/8) grid, which
+            # equals the (hsf,vsf)-padded plane grid only for 1x1 sampling.
+            c = frame.components[0]
+            return (
+                c.blocks_x == -(-c.x // 8) and c.blocks_y == -(-c.y // 8)
+            )
+        return True
 
     def acquire(self, structure: JpegStructure) -> CoefficientPlanes:
         frame = structure.frame

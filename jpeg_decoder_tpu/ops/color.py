@@ -50,34 +50,44 @@ def nn_upsample(plane, out_h: int, out_w: int, hsf: int, vsf: int,
     return plane[jnp.asarray(rows)[:, None], jnp.asarray(cols)[None, :]]
 
 
+def fancy_h2x(xf):
+    """Horizontal 2x triangular upsample (libjpeg h2v1 convention: the
+    nearer-left phase gets the +1 rounding, nearer-right +2). f32 in/out;
+    shared with the striped path (parallel/stripes.py)."""
+    left = jnp.roll(xf, 1, axis=1).at[:, 0].set(xf[:, 0])
+    right = jnp.roll(xf, -1, axis=1).at[:, -1].set(xf[:, -1])
+    even = (3.0 * xf + left + 1.0) * 0.25
+    odd = (3.0 * xf + right + 2.0) * 0.25
+    return jnp.stack([even, odd], axis=2).reshape(xf.shape[0], -1)
+
+
+def fancy_v2x(xf):
+    """Vertical 2x triangular upsample (same rounding convention)."""
+    up = jnp.roll(xf, 1, axis=0).at[0].set(xf[0])
+    down = jnp.roll(xf, -1, axis=0).at[-1].set(xf[-1])
+    even = (3.0 * xf + up + 1.0) * 0.25
+    odd = (3.0 * xf + down + 2.0) * 0.25
+    return jnp.stack([even, odd], axis=1).reshape(-1, xf.shape[1])
+
+
 def fancy_upsample(plane, out_h: int, out_w: int, hsf: int, vsf: int,
                    max_hsf: int, max_vsf: int):
     """libjpeg-style triangular (centered 3:1/1:3) upsample for 2x factors;
     falls back to NN for other ratios. Higher quality than the reference's
     NN rule (config.upsample == "fancy"); not a parity target."""
     x = plane.astype(F32)
+    eh, ev = hsf, vsf
     if 2 * hsf == max_hsf:
-        left = jnp.roll(x, 1, axis=1).at[:, 0].set(x[:, 0])
-        right = jnp.roll(x, -1, axis=1).at[:, -1].set(x[:, -1])
-        even = (3.0 * x + left + 2.0) * 0.25
-        odd = (3.0 * x + right + 1.0) * 0.25
-        x = jnp.stack([even, odd], axis=2).reshape(x.shape[0], -1)
+        x = fancy_h2x(x)
+        eh = 2 * hsf
     if 2 * vsf == max_vsf:
-        up = jnp.roll(x, 1, axis=0).at[0].set(x[0])
-        down = jnp.roll(x, -1, axis=0).at[-1].set(x[-1])
-        even = (3.0 * x + up + 2.0) * 0.25
-        odd = (3.0 * x + down + 1.0) * 0.25
-        x = jnp.stack([even, odd], axis=1).reshape(-1, x.shape[1])
+        x = fancy_v2x(x)
+        ev = 2 * vsf
     x = jnp.floor(x).astype(jnp.uint8)
-    if x.shape[0] == out_h and x.shape[1] == out_w and hsf in (max_hsf,) and vsf in (max_vsf,):
-        return x
-    # Crop / NN-extend to the requested size for non-2x ratios and padding.
-    return nn_upsample(
-        x, out_h, out_w,
-        hsf * (2 if 2 * hsf == max_hsf else 1),
-        vsf * (2 if 2 * vsf == max_vsf else 1),
-        max_hsf, max_vsf,
-    )
+    if eh == max_hsf and ev == max_vsf:
+        return x[:out_h, :out_w]  # full-res after upsampling: plain crop
+    # Non-2x ratios remain: NN the rest of the way.
+    return nn_upsample(x, out_h, out_w, eh, ev, max_hsf, max_vsf)
 
 
 def _store_rgb(r, g, b, quirks: Quirks):

@@ -94,15 +94,17 @@ def _build_decode_loop(
         return jnp.where(ok, flat, OOB)
 
     @jax.jit
-    def decode(bytes_arr, lut_sym, lut_len, mcu_end, ri):
+    def decode(bytes_arr, lut_sym, lut_len, mcu_end, ri, init_flat):
         """bytes_arr: [L, B] uint8 (unstuffed, padded). lut_sym/lut_len:
         [n_luts, 65536] int32. mcu_end: [L] exclusive global-MCU bounds.
-        ri: restart interval (0 -> single lane covers everything)."""
+        ri: restart interval (0 -> single lane covers everything).
+        init_flat: prior coefficient state — scans only update the blocks
+        they cover (multi-scan files accumulate across scans)."""
         L = bytes_arr.shape[0]
         lanes = jnp.arange(L, dtype=I32)
         m0 = jnp.where(ri > 0, lanes * ri, 0)
 
-        out = jnp.zeros(total_coeffs, dtype=I32)
+        out = init_flat
         state = dict(
             out=out,
             bitpos=jnp.zeros(L, dtype=I32),
@@ -182,6 +184,9 @@ def _build_decode_loop(
             )
 
             # --- coefficient write ---------------------------------------
+            # AC index overflow is a malformed stream: flag the lane (the
+            # other backends raise JpegEntropyError for the same input).
+            bad = bad | (active & (~is_dc) & (size > 0) & (ac_write_ci > 63))
             write_dc = active & is_dc
             write_ac = active & (~is_dc) & (size > 0) & (ac_write_ci <= 63)
             widx = jnp.where(
@@ -258,12 +263,16 @@ def decode_scan_device(structure, scan, planes: CoefficientPlanes, cfg):
     else:
         mcu_end = np.array([total_mcus], dtype=np.int32)
 
+    init_flat = np.concatenate(
+        [planes.plane(ci).reshape(-1) for ci in range(frame.ncs)]
+    ).astype(np.int32)
     flat_dev, bad_dev = decode(
         jnp.asarray(bytes_arr),
         jnp.asarray(lut_sym),
         jnp.asarray(lut_len),
         jnp.asarray(mcu_end),
         ri,
+        jnp.asarray(init_flat),
     )
     if bool(jax.device_get(bad_dev)):
         from ..utils.errors import JpegEntropyError

@@ -60,18 +60,9 @@ def _fancy_upsample_v2x_striped(xf, axis_name: str):
     floors once at the end)."""
     ext = _halo_exchange_rows(xf, axis_name)  # [rows+2, w]
     up, mid, down = ext[:-2], ext[1:-1], ext[2:]
-    even = (3.0 * mid + up + 2.0) * 0.25
-    odd = (3.0 * mid + down + 1.0) * 0.25
+    even = (3.0 * mid + up + 1.0) * 0.25
+    odd = (3.0 * mid + down + 2.0) * 0.25
     return jnp.stack([even, odd], axis=1).reshape(-1, xf.shape[1])
-
-
-def _fancy_upsample_h2x(xf):
-    """Horizontal 2x triangular upsample (local; never sharded; f32)."""
-    left = jnp.roll(xf, 1, axis=1).at[:, 0].set(xf[:, 0])
-    right = jnp.roll(xf, -1, axis=1).at[:, -1].set(xf[:, -1])
-    even = (3.0 * xf + left + 2.0) * 0.25
-    odd = (3.0 * xf + right + 1.0) * 0.25
-    return jnp.stack([even, odd], axis=2).reshape(xf.shape[0], -1)
 
 
 @functools.lru_cache(maxsize=64)
@@ -127,14 +118,20 @@ def make_shard_fn(key, n_stripes: int):
             plane = idct_ops.blocks_to_plane(pix, lby, c.blocks_x)
             local_rows = lby * 8
 
-            if upsample == "fancy" and (2 * c.vsf == vmax or 2 * c.hsf == hmax):
+            fancy_ok = (
+                upsample == "fancy"
+                and (c.hsf == hmax or 2 * c.hsf == hmax)
+                and (c.vsf == vmax or 2 * c.vsf == vmax)
+                and (2 * c.hsf == hmax or 2 * c.vsf == vmax)
+            )
+            if fancy_ok:
                 up = plane.astype(F32)
                 if 2 * c.hsf == hmax:
-                    up = _fancy_upsample_h2x(up)
+                    up = color_ops.fancy_h2x(up)
                 if 2 * c.vsf == vmax:
                     up = _fancy_upsample_v2x_striped(up, mesh_mod.STRIPE_AXIS)
-                # One floor at the end, then the plane is stripe-local
-                # full-res (2x sampling == max): crop.
+                # One floor at the end; both dims now at full resolution
+                # (guaranteed by fancy_ok): crop the stripe-local plane.
                 chans.append(jnp.floor(up).astype(jnp.uint8)[:hs, :w])
             else:
                 # NN gather: global row table sliced to this stripe, made

@@ -84,8 +84,6 @@ class DecodeConfig:
     entropy_backend: EntropyBackend = EntropyBackend.NATIVE
     # Run dequant+IDCT+color on the TPU (False = all-host decode).
     use_device: bool = True
-    # Interpret Pallas kernels (for CPU-backend testing/debugging).
-    interpret: bool = False
     # Number of host threads for the native entropy stage (0 = all cores).
     num_threads: int = 0
     # Upsampling: "nn" is the reference rule; "fancy" is libjpeg-style
@@ -115,8 +113,6 @@ class EncodeConfig:
     # Restart interval in MCUs (0 = none). Restart markers are this engine's
     # parallelism seam, so the encoder emits them by default.
     restart_interval: int = 0
-    use_device: bool = True
-    interpret: bool = False
     # Huffman tables: "annex_k" = spec Tables K.3-K.6; "optimized" = two-pass
     # per-image optimal code lengths.
     huffman: str = "annex_k"

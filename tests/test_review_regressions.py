@@ -236,3 +236,61 @@ def test_plane_pool_reuse_safe_for_interleaved():
     want, _ = _entropy_decode(s, cfg)
     for ci in range(3):
         np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+def test_device_backend_multiscan_accumulates():
+    """Each scan must only update the blocks it covers — earlier scans'
+    components survive (was: every scan wiped all planes on the DEVICE
+    backend)."""
+    from jpeg_decoder_tpu.models.decoder import _entropy_decode
+
+    rng = np.random.default_rng(41)
+    data, comps = _component_separate_stream(rng)
+    s = parse(data)
+    want, _ = _entropy_decode(
+        s, DecodeConfig(entropy_backend=EntropyBackend.ORACLE)
+    )
+    got, _ = _entropy_decode(
+        s, DecodeConfig(entropy_backend=EntropyBackend.DEVICE)
+    )
+    for ci in range(3):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+def test_plane_pool_gray_with_sampling_factors():
+    """Grayscale frames declaring sampling > 1 have MCU-padding blocks the
+    single-component scan never covers — pool reuse must re-zero."""
+    from jpeg_decoder_tpu.core import entropy_encode, huffman
+    from jpeg_decoder_tpu.io import writer
+    from jpeg_decoder_tpu.models.decoder import PlanePool
+
+    rng = np.random.default_rng(43)
+    # 24x24 gray, SOF sampling 2x2: plane is 4x4 blocks, scan covers 3x3.
+    nb = 3
+    blocks = np.zeros((nb * nb, 64), dtype=np.int32)
+    blocks[:, 0] = rng.integers(-100, 100, nb * nb)
+    dc = huffman.annex_k_dc_luminance()
+    ac = huffman.annex_k_ac_luminance()
+    entropy = entropy_encode.encode_blocks(
+        [(0, blocks[i]) for i in range(nb * nb)],
+        [huffman.build_encode_table(dc)],
+        [huffman.build_encode_table(ac)],
+        [(0, 0)], 1, 0,
+    )
+    qt = np.full(64, 8, dtype=np.uint16)
+    data = b"".join([
+        writer.soi(), writer.dqt(0, qt),
+        writer.sof(24, 24, [(1, 2, 2, 0)]),
+        writer.dht(dc), writer.dht(ac),
+        writer.sos([(1, 0, 0)]), entropy, writer.eoi(),
+    ])
+    s = parse(data)
+    assert s.frame.components[0].blocks_x == 4  # MCU-padded
+    pool = PlanePool()
+    planes = pool.acquire(s)
+    for p in planes.planes:
+        p.fill(12345)
+    pool.release(planes)
+    planes2 = pool.acquire(s)
+    for p in planes2.planes:
+        assert not np.any(p == 12345), "stale coefficients leaked"
