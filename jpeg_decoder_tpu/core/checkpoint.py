@@ -75,6 +75,7 @@ def save_checkpoint(
     for tid in qts:
         arrays[f"qt_{tid}"] = np.asarray(qts[tid], dtype=np.uint16)
     digest = hashlib.sha256()
+    digest.update(json.dumps(meta, sort_keys=True).encode())  # metadata too
     for k in sorted(arrays):
         digest.update(k.encode())
         digest.update(np.ascontiguousarray(arrays[k]).tobytes())
@@ -108,6 +109,8 @@ def load_checkpoint(path: str | Path):
                 tid, z[f"qt_{tid}"]
             )
         digest = hashlib.sha256()
+        meta_core = {k: v for k, v in meta.items() if k != "digest"}
+        digest.update(json.dumps(meta_core, sort_keys=True).encode())
         for k in sorted(arrays):
             digest.update(k.encode())
             digest.update(np.ascontiguousarray(arrays[k]).tobytes())

@@ -15,14 +15,14 @@ import numpy as np
 from ..io import bitstream as bsio
 from ..io.markers import Encoding
 from ..utils.config import DecodeConfig
-from .huffman import build_canonical, build_flat_lut
+from .huffman import flat_lut_for_spec
 from .driver import run_scans
 from .types import CoefficientPlanes, HuffTableSpec, JpegStructure
 from . import oracle
 
 
 def _lut_builder(spec: HuffTableSpec):
-    return build_flat_lut(build_canonical(spec))
+    return flat_lut_for_spec(spec)  # content-cached across images
 
 
 def _decode_scan(structure, scan, planes):

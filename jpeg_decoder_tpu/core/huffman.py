@@ -288,10 +288,13 @@ def optimal_code_lengths(freq_in: np.ndarray) -> HuffTableSpec:
             v2 = int(others[v2])
             codesize[v2] += 1
 
+    # Clamp pathological depths (>32 is possible only for astronomically
+    # skewed frequencies) so Sort_Input below still collects every symbol.
+    codesize = np.minimum(codesize, 32)
     bits = np.zeros(33, dtype=np.int64)
     for i in range(257):
         if codesize[i] > 0:
-            bits[min(int(codesize[i]), 32)] += 1
+            bits[int(codesize[i])] += 1
 
     # Adjust_BITS (figure K.3): fold lengths > 16 down.
     i = 32

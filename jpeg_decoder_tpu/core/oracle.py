@@ -19,7 +19,7 @@ import numpy as np
 
 from ..io import bitstream as bsio
 from ..utils.config import DecodeConfig, Quirks
-from ..utils.errors import JpegEntropyError, JpegFormatError
+from ..utils.errors import JpegEntropyError, JpegFormatError, JpegTruncatedError
 from .huffman import CanonicalTable, build_canonical
 from .numerics import (
     dequantize,
@@ -59,6 +59,42 @@ def _block_position(
         bx = base % img_width
         by = (base // img_width) * vsf + j
     return by, bx
+
+
+def _scan_unit_layout(frame, sh):
+    """Per-MCU data-unit order for a scan (decode.c:609-611): returns
+    (total_mcus, [(frame_comp_idx, Component, j, k)], {ci: (h, v)},
+    [scan_comp_idx per unit]). Non-interleaved scans (nics == 1) use
+    hsf=vsf=1 semantics over the component's own ceil(x/8) grid
+    (decode.c:454-456, 893-897). Shared by the sequential and progressive
+    oracle decoders (the native runtime mirrors this in scan_layout)."""
+    if sh.nics == 1:
+        ci, c = frame.find_component(sh.components[0].sc)
+        pad_x = (c.x + 7) // 8
+        pad_y = (c.y + 7) // 8
+        return pad_x * pad_y, [(ci, c, 0, 0)], {ci: (1, 1)}, [0]
+    total_mcus = frame.mcus_x * frame.mcus_y
+    units = []
+    hv = {}
+    comp_of_unit = []
+    for idx, sc in enumerate(sh.components):
+        ci, c = frame.find_component(sc.sc)
+        hv[ci] = (c.hsf, c.vsf)
+        for j in range(c.vsf):
+            for k in range(c.hsf):
+                units.append((ci, c, j, k))
+                comp_of_unit.append(idx)
+    return total_mcus, units, hv, comp_of_unit
+
+
+def _check_readers_not_overrun(readers) -> None:
+    """Backends whose readers pad past-end reads with zeros (FastBitReader)
+    must fail on genuine truncation like every other backend."""
+    for r in readers:
+        if getattr(r, "overran", False):
+            raise JpegTruncatedError(
+                "entropy data truncated (decode consumed fabricated bits)"
+            )
 
 
 def _segment_readers(
@@ -138,31 +174,8 @@ def decode_sequential_scan(
         dc_tables[sc.dc] = table_builder(scan.dc_tables[sc.dc])
         ac_tables[sc.ac] = table_builder(scan.ac_tables[sc.ac])
 
-    if sh.nics == 1:
-        ci, c = frame.find_component(sh.components[0].sc)
-        pad_x = (c.x + 7) // 8
-        pad_y = (c.y + 7) // 8
-        total_mcus = pad_x * pad_y
-        units = [(ci, c, 0, 0)]
-        hv = {ci: (1, 1)}
-    else:
-        total_mcus = frame.mcus_x * frame.mcus_y
-        units = []
-        hv = {}
-        for sc in sh.components:
-            ci, c = frame.find_component(sc.sc)
-            hv[ci] = (c.hsf, c.vsf)
-            for j in range(c.vsf):
-                for k in range(c.hsf):
-                    units.append((ci, c, j, k))
-
+    total_mcus, units, hv, comp_of_unit = _scan_unit_layout(frame, sh)
     preds = {i: 0 for i in range(sh.nics)}
-    comp_of_unit = []
-    for idx, sc in enumerate(sh.components):
-        ci, c = frame.find_component(sc.sc)
-        n = 1 if sh.nics == 1 else c.hsf * c.vsf
-        comp_of_unit += [idx] * n
-
     seg = 0
     reader = readers[0]
     for m in range(total_mcus):
@@ -190,6 +203,7 @@ def decode_sequential_scan(
             by, bx = _block_position(c, plane.shape[1], m, j, k, h, v)
             if by < plane.shape[0] and bx < plane.shape[1]:
                 plane[by, bx, :] = du
+    _check_readers_not_overrun(readers)
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +236,8 @@ def decode_progressive_scan(
         raise JpegFormatError("progressive scan with ss=0 must have se=0 (G.1.1.1.1)")
     if not is_dc and sh.nics != 1:
         raise JpegFormatError("progressive AC scan must be non-interleaved")
+    if sh.ss > sh.se:
+        raise JpegFormatError(f"progressive scan has ss={sh.ss} > se={sh.se}")
 
     dc_tables = {}
     ac_tables = {}
@@ -235,30 +251,7 @@ def decode_progressive_scan(
                 raise JpegFormatError(f"scan uses undefined AC table {sc.ac}")
             ac_tables[sc.ac] = table_builder(scan.ac_tables[sc.ac])
 
-    if sh.nics == 1:
-        ci, c = frame.find_component(sh.components[0].sc)
-        pad_x = (c.x + 7) // 8
-        pad_y = (c.y + 7) // 8
-        total_mcus = pad_x * pad_y
-        units = [(ci, c, 0, 0)]
-        hv = {ci: (1, 1)}
-    else:
-        total_mcus = frame.mcus_x * frame.mcus_y
-        units = []
-        hv = {}
-        for sc in sh.components:
-            cidx, c = frame.find_component(sc.sc)
-            hv[cidx] = (c.hsf, c.vsf)
-            for j in range(c.vsf):
-                for k in range(c.hsf):
-                    units.append((cidx, c, j, k))
-
-    comp_of_unit = []
-    for idx, sc in enumerate(sh.components):
-        cidx, c = frame.find_component(sc.sc)
-        n = 1 if sh.nics == 1 else c.hsf * c.vsf
-        comp_of_unit += [idx] * n
-
+    total_mcus, units, hv, comp_of_unit = _scan_unit_layout(frame, sh)
     preds = {i: 0 for i in range(sh.nics)}
     eobrun = 0
     seg = 0
@@ -286,6 +279,8 @@ def decode_progressive_scan(
 
             if is_dc and sh.ah == 0:
                 mag = dc_tables[sc.dc].decode(reader)
+                if mag > 15:
+                    raise JpegEntropyError(f"DC magnitude category {mag} > 15")
                 diff = bsio.receive_extend(reader.read_bits(mag), mag)
                 preds[sci] += diff
                 coef[0] = preds[sci] << sh.al
@@ -298,6 +293,7 @@ def decode_progressive_scan(
                 eobrun = _ac_first(reader, coef, ac_tables[sc.ac], sh, eobrun)
             else:
                 eobrun = _ac_refine(reader, coef, ac_tables[sc.ac], sh, eobrun)
+    _check_readers_not_overrun(readers)
 
 
 def _ac_first(

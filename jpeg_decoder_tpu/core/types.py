@@ -325,26 +325,6 @@ def standard_chrominance_qtable() -> np.ndarray:
     return zz
 
 
-def mcu_block_layout(frame: FrameHeader, scan: ScanHeader) -> list[tuple[int, Component, int, int]]:
-    """Per-MCU data-unit order for an interleaved scan: for each scan
-    component, vsf*hsf blocks in raster order (decode.c:609-611).
-
-    Returns a list of (frame_comp_index, component, j, k) in decode order.
-    For a non-interleaved scan (nics == 1) the caller must use hsf=vsf=1
-    semantics (decode.c:454-456, 893-897).
-    """
-    layout = []
-    for sc in scan.components:
-        ci, c = frame.find_component(sc.sc)
-        if scan.nics == 1:
-            layout.append((ci, c, 0, 0))
-        else:
-            for j in range(c.vsf):
-                for k in range(c.hsf):
-                    layout.append((ci, c, j, k))
-    return layout
-
-
 def component_dims_reference(
     X: int, Y: int, hsf: Sequence[int], vsf: Sequence[int]
 ) -> list[tuple[int, int]]:

@@ -43,7 +43,9 @@ def scan_entropy_span(data: np.ndarray, start: int) -> tuple[int, np.ndarray]:
     """One combined pass over a scan's bytes: returns (end, rst_offsets) —
     what entropy_span_end + find_restart_markers compute in two passes.
     The classifier: a 0xFF is stuffing (next == 0x00), an in-scan restart
-    marker (0xD0-0xD7), or the scan terminator (anything else / EOF)."""
+    marker (0xD0-0xD7), a fill byte (next == 0xFF, spec B.1.1.2 — the
+    marker comes after the fill run), or the scan terminator (anything
+    else / EOF)."""
     n = data.shape[0]
     if start >= n:
         raise JpegTruncatedError("scan starts past end of stream", offset=start)
@@ -52,7 +54,8 @@ def scan_entropy_span(data: np.ndarray, start: int) -> tuple[int, np.ndarray]:
         return n, np.empty(0, dtype=np.int64)
     nxt = data[start:][np.minimum(ff + 1, n - start - 1)]
     is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    is_term = ~((nxt == 0x00) | is_rst)
+    is_fill = nxt == 0xFF
+    is_term = ~((nxt == 0x00) | is_rst | is_fill)
     is_term |= (ff + 1) >= (n - start)
     hits = np.flatnonzero(is_term)
     end_rel = int(ff[hits[0]]) if hits.size else n - start
@@ -131,6 +134,11 @@ class BitReader:
     def exhausted(self) -> bool:
         return self.pos >= self.bits.shape[0]
 
+    @property
+    def overran(self) -> bool:
+        # BitReader raises on past-end reads; it can never silently overrun.
+        return False
+
 
 class FastBitReader:
     """Byte-addressed MSB-first bit reader over an unstuffed buffer.
@@ -177,6 +185,13 @@ class FastBitReader:
     @property
     def exhausted(self) -> bool:
         return self.pos >= self.nbits
+
+    @property
+    def overran(self) -> bool:
+        """Consumed more than the 7 possible alignment-fill bits past the
+        real end: the zero-padded reads decoded fabricated data (matches
+        the native runtime's truncation rule)."""
+        return self.pos > self.nbits + 7
 
 
 def receive_extend(value: int, size: int) -> int:

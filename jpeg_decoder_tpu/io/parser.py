@@ -205,8 +205,11 @@ def _parse_sos_header(data: np.ndarray, off: int) -> tuple[ScanHeader, int]:
     se = int(data[p + 1])
     ahal = int(data[p + 2])
     # Spectral-selection bounds (spec B.2.3): unchecked values would drive
-    # out-of-bounds coefficient writes in the native decoder.
-    if ss > 63 or se > 63 or (se and ss > se):
+    # out-of-bounds coefficient writes in the native decoder. ss > se is
+    # validated in the progressive scan decoders (sequential streams with
+    # junk ss/se decode fine — the fields are unused there, and the
+    # reference ignores them too).
+    if ss > 63 or se > 63:
         raise JpegFormatError(
             f"bad spectral selection ss={ss} se={se}", offset=off
         )
@@ -315,6 +318,14 @@ def parse(
             p = entropy_end
         elif is_app(marker) or marker == Marker.COM:
             length = bs.read_u16be(data, seg)
+            if length < 2:
+                raise JpegFormatError(
+                    f"bad segment length {length}", offset=seg
+                )
+            if seg + length > n:
+                raise JpegTruncatedError(
+                    "segment extends past end of stream", offset=seg
+                )
             payload = bytes(data[seg + 2 : seg + length].tobytes())
             app_segments.append((marker, p, payload))
             p = seg + length
@@ -323,6 +334,10 @@ def parse(
         ):
             # Segments we recognize but do not use; skip by length.
             length = bs.read_u16be(data, seg)
+            if length < 2:
+                raise JpegFormatError(
+                    f"bad segment length {length}", offset=seg
+                )
             p = seg + length
         elif marker == Marker.JPG:
             raise JpegUnsupportedError("JPG extension marker")

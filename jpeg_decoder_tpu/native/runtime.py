@@ -153,6 +153,10 @@ def scan_layout(structure: JpegStructure, scan: Scan):
             )
         if sh.ss != 0 and sh.nics != 1:
             raise JpegFormatError("progressive AC scan must be non-interleaved")
+        if sh.ss > sh.se:
+            raise JpegFormatError(
+                f"progressive scan has ss={sh.ss} > se={sh.se}"
+            )
 
     luts = []
     lut_index: dict[tuple[int, int], int] = {}

@@ -294,3 +294,28 @@ def test_plane_pool_gray_with_sampling_factors():
     planes2 = pool.acquire(s)
     for p in planes2.planes:
         assert not np.any(p == 12345), "stale coefficients leaked"
+
+
+def test_fill_bytes_before_restart_marker():
+    """Spec B.1.1.2: optional 0xFF fill bytes may precede any marker. A
+    fill byte before an RSTn must not terminate the scan."""
+    from jpeg_decoder_tpu.io import bitstream as bs
+
+    data = np.frombuffer(
+        b"\x11\x22\xff\x00\x33\xff\xff\xd0\x44\x55\xff\xd9", dtype=np.uint8
+    )
+    end, rst = bs.scan_entropy_span(data, 0)
+    assert end == 10  # terminates at the FF of FFD9
+    assert list(rst) == [6]  # the marker FF of FF D0 (fill FF at 5 skipped)
+
+
+def test_truncated_entropy_typed_error_numpy_backend():
+    """FastBitReader pads with zeros; the scan must still FAIL on genuine
+    truncation like the strict oracle reader does."""
+    name, data = corpus.baseline_corpus()[5]
+    s = parse(data)
+    span = s.scans[0].span
+    cut = data[: span.start + (span.end - span.start) // 2]
+    cfg = DecodeConfig(entropy_backend=EntropyBackend.NUMPY, use_device=False)
+    with pytest.raises(JpegError):
+        decoder.decode(cut, cfg)
