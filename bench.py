@@ -51,6 +51,11 @@ def make_input() -> bytes:
             buf, "JPEG", quality=85, subsampling=2, restart_marker_rows=1
         )
         data = buf.getvalue()
+        if b"\xff\xdd" not in data[:4096]:
+            # Older Pillow silently ignores restart_marker_rows: the DRI
+            # segment is the whole point of this workload (segment-parallel
+            # decode), so fall back to the in-repo encoder.
+            raise ValueError("Pillow emitted no DRI segment")
     except Exception:
         from jpeg_decoder_tpu.models import encoder
         from jpeg_decoder_tpu.utils.config import EncodeConfig
@@ -105,11 +110,9 @@ def main() -> None:
     from jpeg_decoder_tpu.parallel.batch import _batched_stage
 
     frame = structure.frame
-    qt_by_comp = tuple(
-        np.ascontiguousarray(qts[c.qtid], dtype=np.uint16).tobytes()
-        for c in frame.components
+    key = decoder_mod._stage_key(
+        frame, decoder_mod.qt_by_comp_bytes(frame, qts), cfg
     )
-    key = decoder_mod._stage_key(frame, qt_by_comp, cfg)
     ncs = frame.ncs
     big = 16
 
@@ -145,19 +148,29 @@ def main() -> None:
             f"{t_dev_m*1e3:.2f} ms/img = {px/t_dev_m/1e6:.0f} MP/s")
 
     # Correctness guard: EXACT mode must match the host oracle path bitwise.
+    # A mismatch is a hard failure — a throughput number for a decoder that
+    # produces wrong pixels must never look like a valid result.
     dev_rgb = np.asarray(jax.device_get(rgb1[0]))
     ref = decoder_mod.decode(data, cfg.replace(use_device=False))
-    if not np.array_equal(dev_rgb, ref.rgb):
+    bit_exact = bool(np.array_equal(dev_rgb, ref.rgb))
+    if not bit_exact:
         d = np.abs(dev_rgb.astype(int) - ref.rgb.astype(int))
-        log(f"WARNING: device/host mismatch max={d.max()} frac={(d > 0).mean()}")
+        log(f"ERROR: device/host mismatch max={d.max()} frac={(d > 0).mean()}")
 
     rate = px / max(t_host_m, t_dev_m)
-    print(json.dumps({
+    result = {
         "metric": "decode_4k420_q85_throughput",
         "value": round(rate / 1e6, 2),
         "unit": "MP/s",
         "vs_baseline": round(rate / 1e6 / BASELINE_MPS, 2),
-    }))
+    }
+    if not bit_exact:
+        result["value"] = 0.0
+        result["vs_baseline"] = 0.0
+        result["bit_exact"] = False
+    print(json.dumps(result))
+    if not bit_exact:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -8,10 +8,11 @@ this container it exercises the same code path on the virtual CPU mesh:
         python benchmarks/scaling.py [--sizes 1,2,4,8] [--batch 32]
 
 Prints one JSON line per mesh size with frames/s, MP/s, and the scaling
-efficiency vs the 1-device run. Note: on a virtual CPU mesh all "devices"
-share the same cores, so efficiency there measures sharding overhead, not
-real scaling — the harness exists so the identical command gives true
-scaling numbers on hardware.
+efficiency vs the first listed size. Without the env vars the script runs
+on whatever accelerator jax finds (the TPU on a TPU host); with them it
+exercises the identical code path on a virtual CPU mesh, where all
+"devices" share the same cores — efficiency there measures sharding
+overhead, not real scaling.
 """
 
 from __future__ import annotations
@@ -22,11 +23,6 @@ import os
 import sys
 import time
 
-if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS") is None:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.setdefault(
-        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-    )
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -63,7 +59,7 @@ def main() -> int:
     px = args.batch * args.hw * args.hw
     cfg = DecodeConfig()
 
-    base_rate = None
+    base_rate = base_n = None
     for n in [int(s) for s in args.sizes.split(",")]:
         if n > len(jax.devices()):
             print(f"# skipping mesh size {n}: only {len(jax.devices())} devices",
@@ -80,12 +76,14 @@ def main() -> int:
         t = float(np.median(ts))
         rate = px / t
         if base_rate is None:
-            base_rate = rate
+            base_rate, base_n = rate, n
         print(json.dumps({
             "mesh_devices": n,
             "frames_per_s": round(args.batch / t, 2),
             "mp_per_s": round(rate / 1e6, 2),
-            "scaling_efficiency": round(rate / (base_rate * n), 3),
+            "scaling_efficiency": round(
+                (rate / n) / (base_rate / base_n), 3
+            ),
         }))
     return 0
 

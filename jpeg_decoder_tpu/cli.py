@@ -59,6 +59,7 @@ def _decode_cfg(args) -> DecodeConfig:
         use_device=not args.no_device,
         upsample=args.upsample,
         num_threads=args.threads,
+        collect_metrics=getattr(args, "metrics", False),
     )
 
 
@@ -128,7 +129,7 @@ def cmd_bench(args) -> int:
     data = Path(args.input).read_bytes()
     img = decode(data, cfg)  # warm (compile)
     times = []
-    for _ in range(args.repeat):
+    for _ in range(max(args.repeat, 1)):
         t0 = time.perf_counter()
         img = decode(data, cfg)
         times.append(time.perf_counter() - t0)
@@ -140,6 +141,10 @@ def cmd_bench(args) -> int:
         "unit": "MP/s",
         "median_ms": round(t * 1e3, 2),
     }))
+    if args.metrics:
+        from .utils.metrics import GLOBAL_METRICS
+
+        print(json.dumps(GLOBAL_METRICS.summary(), indent=2), file=sys.stderr)
     return 0
 
 

@@ -46,6 +46,17 @@ log = get_logger("decoder")
 # ---------------------------------------------------------------------------
 
 
+def qt_by_comp_bytes(frame: FrameHeader, qtid_tables) -> tuple[bytes, ...]:
+    """Per-component quant-table bytes — the table half of the device-stage
+    cache key. The single definition: every call site (decoder, batch,
+    stripes, bench, entry) must build the key identically or cached
+    programs stop matching."""
+    return tuple(
+        np.ascontiguousarray(qtid_tables[c.qtid], dtype=np.uint16).tobytes()
+        for c in frame.components
+    )
+
+
 def _stage_key(frame: FrameHeader, qt_by_comp: tuple[bytes, ...], cfg: DecodeConfig):
     return (
         frame,
@@ -143,11 +154,9 @@ def device_stage_for(
             raise JpegFormatError(
                 f"component {c.id} references undefined quant table {c.qtid}"
             )
-    qt_by_comp = tuple(
-        np.ascontiguousarray(qtid_tables[c.qtid], dtype=np.uint16).tobytes()
-        for c in frame.components
+    return _build_device_stage(
+        _stage_key(frame, qt_by_comp_bytes(frame, qtid_tables), cfg)
     )
-    return _build_device_stage(_stage_key(frame, qt_by_comp, cfg))
 
 
 # ---------------------------------------------------------------------------

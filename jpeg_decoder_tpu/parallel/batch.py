@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..models import decoder as decoder_mod
-from ..models.decoder import _stage_key, build_stage_raw
+from ..models.decoder import _stage_key, build_stage_raw, qt_by_comp_bytes
 from ..utils.config import DecodeConfig
 from ..utils.errors import JpegFormatError
 from ..utils.metrics import GLOBAL_METRICS as metrics
@@ -76,8 +76,7 @@ class BatchDecoder:
             return np.zeros((0, 0, 0, 3), dtype=np.uint8)
         structures = [parse(d, self.cfg) for d in datas]
         results = self._entropy_many(structures)
-        with metrics.timer("device_batch", items=len(datas)):
-            return self._device_batch(datas, structures, results)
+        return self._device_batch(datas, structures, results)
 
     def decode_stream(self, datas, batch_size: int | None = None):
         """Pipelined streaming decode: yields [B, H, W, 3] arrays per batch.
@@ -114,11 +113,9 @@ class BatchDecoder:
         """Device stage of decode_batch for pre-run host results."""
         keys = set()
         for s, (planes, qts) in zip(structures, results):
-            qt_by_comp = tuple(
-                np.ascontiguousarray(qts[c.qtid], dtype=np.uint16).tobytes()
-                for c in s.frame.components
+            keys.add(
+                _stage_key(s.frame, qt_by_comp_bytes(s.frame, qts), self.cfg)
             )
-            keys.add(_stage_key(s.frame, qt_by_comp, self.cfg))
         if len(keys) != 1:
             raise JpegFormatError(
                 "decode_stream needs identical geometry/tables across inputs"
@@ -142,7 +139,8 @@ class BatchDecoder:
         for planes, _qts in results:
             self._pool.release(planes)
         stage = _batched_stage(key, self.mesh, frame.ncs)
-        rgb = np.asarray(jax.device_get(stage(*batches)))
+        with metrics.timer("device_batch", items=b):
+            rgb = np.asarray(jax.device_get(stage(*batches)))
         return rgb[:b]
 
     def decode_many(self, datas: list[bytes]) -> list[np.ndarray]:

@@ -186,11 +186,9 @@ def decode_striped(
     structure = parse(data, cfg)
     planes, qts = decoder_mod._entropy_decode(structure, cfg)
     frame = structure.frame
-    qt_by_comp = tuple(
-        np.ascontiguousarray(qts[c.qtid], dtype=np.uint16).tobytes()
-        for c in frame.components
+    key = decoder_mod._stage_key(
+        frame, decoder_mod.qt_by_comp_bytes(frame, qts), cfg
     )
-    key = decoder_mod._stage_key(frame, qt_by_comp, cfg)
     stage = build_striped_stage(key, mesh, n_stripes)
     sh = NamedSharding(mesh, P(mesh_mod.STRIPE_AXIS))
     dev_planes = [
