@@ -160,21 +160,22 @@ class FastBitReader:
     def read_bit(self) -> int:
         p = self.pos
         self.pos = p + 1
-        return (self.b[p >> 3] >> (7 - (p & 7))) & 1
+        byte = min(p >> 3, len(self.b) - 1)  # far-past-end reads yield 0s
+        return (self.b[byte] >> (7 - (p & 7))) & 1
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
         p = self.pos
         self.pos = p + n
-        byte = p >> 3
+        byte = min(p >> 3, len(self.b) - 5)
         sh = p & 7
         w = int.from_bytes(self.b[byte : byte + 5], "big")
         return (w >> (40 - sh - n)) & ((1 << n) - 1)
 
     def peek16(self) -> int:
         p = self.pos
-        byte = p >> 3
+        byte = min(p >> 3, len(self.b) - 4)
         sh = p & 7
         w = int.from_bytes(self.b[byte : byte + 4], "big")
         return (w >> (16 - sh)) & 0xFFFF

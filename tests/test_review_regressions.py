@@ -319,3 +319,17 @@ def test_truncated_entropy_typed_error_numpy_backend():
     cfg = DecodeConfig(entropy_backend=EntropyBackend.NUMPY, use_device=False)
     with pytest.raises(JpegError):
         decoder.decode(cut, cfg)
+
+
+def test_fastbitreader_deep_overrun_no_crash():
+    """Reads far past the end must yield pad bits and flip `overran`, never
+    raise IndexError (soak-test find)."""
+    from jpeg_decoder_tpu.io.bitstream import FastBitReader
+
+    r = FastBitReader(np.array([0xAB, 0xCD], dtype=np.uint8))
+    for _ in range(500):
+        r.read_bit()
+    for _ in range(50):
+        r.read_bits(16)
+        r.peek16()
+    assert r.overran
