@@ -251,21 +251,31 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
   }
   du[0] = *pred;
 
+  // vlut entries are non-negative by construction (kind lives in bits
+  // 27:26), so INT32_MIN marks "refill / bounds check needed".
+  constexpr int32_t kNeedRefill = INT32_MIN;
   int i = 1;
   while (i < 64) {
     br.fill();
-    uint32_t idx12 = static_cast<uint32_t>(br.buf >> 52);
-    int32_t en = ac.vlut[idx12];
-    int kind = (en >> 26) & 3;
-    if (kind == HuffLut::KIND_COEF) {
-      // code + extend resolved by the single lookup
+    // Drain consecutive coefficient hits from the buffered bits: each hit
+    // consumes <= 12 bits and peeks 12, so decode until fewer than 12
+    // valid bits remain — one fill() amortizes over several coefficients.
+    int32_t en;
+    for (;;) {
+      en = ac.vlut[static_cast<uint32_t>(br.buf >> 52)];
+      if (((en >> 26) & 3) != HuffLut::KIND_COEF) break;
       i += (en >> 22) & 0x0F;
       if (i > 63) return JDT_ERR_COEF_RANGE;
       du[i] = static_cast<int16_t>(en & 0xFFFF);
       br.consume((en >> 16) & 0x3F);
       i++;
-      continue;
+      if (i >= 64 || br.nbits < 12) {
+        en = kNeedRefill;
+        break;
+      }
     }
+    if (en == kNeedRefill) continue;
+    int kind = (en >> 26) & 3;
     if (kind == HuffLut::KIND_EOB) {
       br.consume((en >> 16) & 0x3F);
       break;
@@ -275,7 +285,10 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
       i += 16;
       continue;
     }
-    // Slow path: long code or long extend — full 16-bit decode.
+    // Slow path: long code or long extend — full 16-bit decode. The drain
+    // loop only guarantees >= 12 buffered bits; this path peeks 16 and
+    // reads up to 16 extend bits, so top the buffer back up first.
+    br.fill();
     idx = static_cast<uint32_t>(br.buf >> 48);
     e = ac.lut12[idx >> 4];
     if (e == 0) {
