@@ -117,6 +117,14 @@ def _load():
         ]
         lib.jdt_free.restype = None
         lib.jdt_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.jdt_scan_span.restype = ctypes.c_int32
+        lib.jdt_scan_span.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,  # data, n, start
+            i64p,                                  # end_out
+            i64p, ctypes.c_int64,                  # rst_out, max_rst
+            i64p,                                  # n_rst_out
+        ]
         if lib.jdt_version() != 3:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
@@ -365,6 +373,35 @@ def decode_scan_native(
             f" (segment {err[0]}, mcu {err[1]})",
             mcu=int(err[1]),
         )
+
+
+_SCAN_RST_CAP = 1 << 17  # plenty for any realistic restart count
+
+
+def scan_span(data: np.ndarray, start: int):
+    """memchr-based entropy-span scan (see jdt_scan_span); returns
+    (end, rst_offsets) or None when unavailable/overflowing (caller uses
+    the NumPy reference implementation)."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data)
+    rst = np.empty(_SCAN_RST_CAP, dtype=np.int64)
+    end = ctypes.c_int64(0)
+    n_rst = ctypes.c_int64(0)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.jdt_scan_span(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.shape[0],
+        start,
+        ctypes.byref(end),
+        rst.ctypes.data_as(i64p),
+        _SCAN_RST_CAP,
+        ctypes.byref(n_rst),
+    )
+    if rc != 0:
+        return None  # more restarts than the cap: NumPy path handles it
+    return int(end.value), rst[: n_rst.value].copy()
 
 
 def encode_scan_native(

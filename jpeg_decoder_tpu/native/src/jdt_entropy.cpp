@@ -809,6 +809,48 @@ extern "C" {
 
 int32_t jdt_version() { return 3; }
 
+// Entropy-span prescan: find where a scan's entropy bytes end and every
+// in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),
+// restart marker (0xD0-0xD7), fill byte (next 0xFF, spec B.1.1.2), or the
+// scan terminator. memchr-based: the libc SIMD scan replaces the NumPy
+// whole-buffer passes (io/bitstream.scan_entropy_span is the semantic
+// reference; both must classify identically). Returns 0 on success, 1 if
+// more than max_rst restart markers were found (caller falls back).
+int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
+                      int64_t* end_out, int64_t* rst_out, int64_t max_rst,
+                      int64_t* n_rst_out) {
+  int64_t i = start;
+  int64_t nr = 0;
+  *end_out = n;
+  while (i < n) {
+    const void* hit = std::memchr(data + i, 0xFF, n - i);
+    if (hit == nullptr) {
+      *end_out = n;
+      break;
+    }
+    i = static_cast<const uint8_t*>(hit) - data;
+    if (i + 1 >= n) {  // trailing 0xFF at EOF terminates the scan
+      *end_out = i;
+      break;
+    }
+    uint8_t nxt = data[i + 1];
+    if (nxt == 0x00) {
+      i += 2;  // stuffed
+    } else if (nxt >= 0xD0 && nxt <= 0xD7) {
+      if (nr < max_rst) rst_out[nr] = i;
+      nr++;
+      i += 2;
+    } else if (nxt == 0xFF) {
+      i += 1;  // fill byte: re-examine from the next 0xFF
+    } else {
+      *end_out = i;
+      break;
+    }
+  }
+  *n_rst_out = nr;
+  return nr > max_rst ? 1 : 0;
+}
+
 // Sequential (baseline/extended) scan, segment-parallel.
 // unit_params: n_units x 11 int32 (see UnitLayout). err_out: [seg, mcu].
 int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,

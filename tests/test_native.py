@@ -102,3 +102,28 @@ def test_native_error_on_corrupt_stream():
         native_runtime.entropy_decode(s2, NATIVE_CFG)
     except JpegError:
         pass  # any structured error is acceptable; must not crash/exit
+
+
+def test_native_scan_span_matches_numpy(rng):
+    """The memchr-based span scan must classify identically to the NumPy
+    reference on adversarial byte soups (stuffing, RSTn, fills, EOF FFs)."""
+    from jpeg_decoder_tpu.io import bitstream as bs
+
+    for trial in range(50):
+        n = int(rng.integers(2, 4000))
+        # Bias toward lots of 0xFF bytes to hit every classification arm.
+        data = rng.choice(
+            np.array([0xFF, 0x00, 0xD0, 0xD3, 0xD9, 0x11, 0x80], dtype=np.uint8),
+            size=n,
+            p=[0.3, 0.2, 0.1, 0.05, 0.05, 0.2, 0.1],
+        )
+        start = int(rng.integers(0, n - 1))
+        native = native_runtime.scan_span(data, start)
+        assert native is not None
+        # NumPy reference body (bypass the native delegation).
+        import unittest.mock as mock
+
+        with mock.patch.object(bs, "_native_scan_span", lambda *a: None):
+            want_end, want_rst = bs.scan_entropy_span(data, start)
+        assert native[0] == want_end, f"trial {trial}: end differs"
+        np.testing.assert_array_equal(native[1], want_rst)
