@@ -9,7 +9,7 @@ device, values are carried as unevaluated (hi, lo) float32 pairs accurate to
 store, so the store rounds identically to the C except when the exact value
 sits within ~2^-48 of an f32 rounding boundary (probability ~2^-24 per
 operation; absent from every corpus image — verified by the bit-exactness
-suite in tests/test_device_idct.py).
+suite in tests/test_device_ops.py).
 
 Algorithms are the classic error-free transformations (Dekker 1971, Knuth
 TAOCP v2 §4.2.2): TwoSum, Split, TwoProd — written FMA-free so they are

@@ -224,7 +224,7 @@ def _build_decode_loop(
             )
 
         final = lax.while_loop(cond, body, state)
-        return final["out"], jnp.any(final["bad"])
+        return final["out"], jnp.any(final["bad"]), final["bitpos"]
 
     return decode
 
@@ -266,7 +266,7 @@ def decode_scan_device(structure, scan, planes: CoefficientPlanes, cfg):
     init_flat = np.concatenate(
         [planes.plane(ci).reshape(-1) for ci in range(frame.ncs)]
     ).astype(np.int32)
-    flat_dev, bad_dev = decode(
+    flat_dev, bad_dev, bitpos_dev = decode(
         jnp.asarray(bytes_arr),
         jnp.asarray(lut_sym),
         jnp.asarray(lut_len),
@@ -279,6 +279,20 @@ def decode_scan_device(structure, scan, planes: CoefficientPlanes, cfg):
 
         raise JpegEntropyError(
             "device entropy decode hit an invalid Huffman code or DC range"
+        )
+    # Truncation check: _gather_window32 clamps past-end reads into zero
+    # padding, so a short final segment would otherwise decode fabricated
+    # zero bits and "succeed". Apply the same rule as the other backends
+    # (FastBitReader.overran / jdt_entropy.cpp BitReader::overran): consuming
+    # more than the 7 possible alignment-fill bits past the real unstuffed
+    # end means the stream is genuinely short.
+    bitpos = np.asarray(jax.device_get(bitpos_dev))
+    real_bits = np.array([8 * x.shape[0] for x in segs], dtype=np.int64)
+    if np.any(bitpos.astype(np.int64) > real_bits + 7):
+        from ..utils.errors import JpegTruncatedError
+
+        raise JpegTruncatedError(
+            "entropy data truncated (device decode consumed fabricated bits)"
         )
     flat = np.asarray(jax.device_get(flat_dev))
     pos = 0

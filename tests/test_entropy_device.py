@@ -56,6 +56,24 @@ def test_device_backend_full_pipeline():
     np.testing.assert_array_equal(got, want)
 
 
+def test_device_backend_truncated_raises():
+    """_gather_window32 clamps past-end reads into zero padding; a truncated
+    stream must still raise JpegTruncatedError like every other backend,
+    not silently decode fabricated zero bits."""
+    from jpeg_decoder_tpu.utils.errors import JpegError, JpegTruncatedError
+
+    name, data = corpus.baseline_corpus()[0]
+    s = parse(data)
+    span = s.scans[0].span
+    cut = data[: span.start + (span.end - span.start) // 2]
+    try:
+        s2 = parse(cut)
+    except JpegError:
+        return  # parse itself may reject the cut file — equally fine
+    with pytest.raises(JpegTruncatedError):
+        entropy_device.entropy_decode(s2, CFG)
+
+
 def test_device_backend_rejects_progressive():
     from jpeg_decoder_tpu.utils.errors import JpegUnsupportedError
 
