@@ -111,6 +111,15 @@ def _segment_readers(
     return readers
 
 
+def _wrap16(v: int) -> int:
+    """Wrap a Python int to int16 two's-complement range — the semantics of
+    every backend's coefficient store (NumPy array casts and C++ int16_t
+    stores both truncate mod 2^16). Legal streams never exceed int16
+    (T.81 F.1.2.1/F.1.2.2); this keeps corrupt streams from raising
+    OverflowError on scalar stores into the int16 planes."""
+    return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+
 def _decode_data_unit_sequential(
     reader,
     dc_table,
@@ -126,7 +135,7 @@ def _decode_data_unit_sequential(
         raise JpegEntropyError(f"DC magnitude category {mag} > 15")
     diff = bsio.receive_extend(reader.read_bits(mag), mag)
     pred = pred + diff
-    du[0] = pred
+    du[0] = _wrap16(pred)
 
     i = 1
     while i < 64:
@@ -283,12 +292,12 @@ def decode_progressive_scan(
                     raise JpegEntropyError(f"DC magnitude category {mag} > 15")
                 diff = bsio.receive_extend(reader.read_bits(mag), mag)
                 preds[sci] += diff
-                coef[0] = preds[sci] << sh.al
+                coef[0] = _wrap16(preds[sci] << sh.al)
             elif is_dc:
                 # DC refine (G.1.2.1): one bit ORed in at position al. The
                 # reference omits the <<al shift (decode.c:1055, quirk ledger).
                 if reader.read_bit():
-                    coef[0] |= 1 << sh.al
+                    coef[0] = _wrap16(int(coef[0]) | (1 << sh.al))
             elif sh.ah == 0:
                 eobrun = _ac_first(reader, coef, ac_tables[sc.ac], sh, eobrun)
             else:
@@ -322,7 +331,9 @@ def _ac_first(
         k += run
         if k > sh.se:
             raise JpegEntropyError(f"AC index {k} beyond spectral band")
-        coef[k] = bsio.receive_extend(reader.read_bits(size), size) << sh.al
+        coef[k] = _wrap16(
+            bsio.receive_extend(reader.read_bits(size), size) << sh.al
+        )
         k += 1
     return 0
 
@@ -341,7 +352,9 @@ def _ac_refine(
     def correct(idx: int) -> None:
         if reader.read_bit():
             if (coef[idx] & p1) == 0:
-                coef[idx] += p1 if coef[idx] >= 0 else m1
+                coef[idx] = _wrap16(
+                    int(coef[idx]) + (p1 if coef[idx] >= 0 else m1)
+                )
 
     k = sh.ss
     if eobrun == 0:
@@ -372,7 +385,7 @@ def _ac_refine(
                     run -= 1
                 k += 1
             if val and k <= sh.se:
-                coef[k] = val
+                coef[k] = _wrap16(val)
             k += 1
     if eobrun > 0:
         while k <= sh.se:

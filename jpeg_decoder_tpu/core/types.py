@@ -250,20 +250,31 @@ class JpegStructure:
     app_segments: tuple[tuple[int, int, bytes], ...] = ()
 
 
+#: Coefficient-plane element type. Quantized JPEG coefficients fit int16 for
+#: every legal stream (8-bit: DC diff <= 11 bits, AC <= 10; 12-bit: <= 15/14
+#: bits — T.81 Tables F.1/F.2), and halving the element size halves both the
+#: host entropy stage's write bandwidth and the host->device transfer — the
+#: two costs that bound pipeline throughput. Malformed streams that exceed
+#: the range wrap identically in NumPy stores and C++ int16_t stores, so
+#: cross-backend equality is preserved even on garbage input.
+COEF_DTYPE = np.int16
+
+
 class CoefficientPlanes:
     """The central IR: per-component quantized coefficients in zigzag order.
 
-    Shape per component: [blocks_y, blocks_x, 64] int32. This generalizes the
-    reference's progressive Buffer (decode.c:20-25, allocate_mcus_progressive
-    decode.c:67-93) to all decode paths: sequential scans fill it once,
-    progressive scans accumulate into it, and the device pipeline consumes it
-    (dequant + IDCT + color) in one fused pass per component.
+    Shape per component: [blocks_y, blocks_x, 64] int16 (COEF_DTYPE). This
+    generalizes the reference's progressive Buffer (decode.c:20-25,
+    allocate_mcus_progressive decode.c:67-93) to all decode paths: sequential
+    scans fill it once, progressive scans accumulate into it, and the device
+    pipeline consumes it (dequant + IDCT + color) in one fused pass per
+    component.
     """
 
     def __init__(self, frame: FrameHeader):
         self.frame = frame
         self.planes: list[np.ndarray] = [
-            np.zeros((c.blocks_y, c.blocks_x, 64), dtype=np.int32)
+            np.zeros((c.blocks_y, c.blocks_x, 64), dtype=COEF_DTYPE)
             for c in frame.components
         ]
 

@@ -61,6 +61,7 @@ def _load():
         lib.jdt_decode_sequential.restype = ctypes.c_int32
         u16p = ctypes.POINTER(ctypes.c_uint16)
         i32pp = ctypes.POINTER(ctypes.c_int32)
+        i16pp = ctypes.POINTER(ctypes.c_int16)
         lib.jdt_decode_sequential.argtypes = [
             u8p,                                 # data
             ctypes.POINTER(ctypes.c_int64),      # seg_bounds
@@ -74,7 +75,7 @@ def _load():
             ctypes.POINTER(i32pp),               # vluts
             ctypes.POINTER(i32pp),               # pvluts
             ctypes.c_int32,                      # n_luts
-            ctypes.POINTER(i32pp),               # planes
+            ctypes.POINTER(i16pp),               # planes (int16 coeff IR)
             ctypes.c_int32,                      # n_threads
             ctypes.POINTER(ctypes.c_int64),      # err_out
         ]
@@ -93,7 +94,7 @@ def _load():
             i32pp,                               # unit_params (11)
             u16p, u16p, i32pp,                   # dc lut12/lut16/vlut
             u16p, u16p, i32pp,                   # ac lut12/lut16/vlut
-            i32pp,                               # plane
+            i16pp,                               # plane (int16 coeff IR)
             ctypes.c_int32,                      # n_threads
         ]
         lib.jdt_encode_scan.restype = ctypes.c_int32
@@ -125,7 +126,7 @@ def _load():
             i64p, ctypes.c_int64,                  # rst_out, max_rst
             i64p,                                  # n_rst_out
         ]
-        if lib.jdt_version() != 3:
+        if lib.jdt_version() != 4:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -276,6 +277,7 @@ def _try_speculative(
     ci = int(u[0])
     plane = planes.plane(ci)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    i16p = ctypes.POINTER(ctypes.c_int16)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     data = np.ascontiguousarray(structure.data)
@@ -291,7 +293,7 @@ def _try_speculative(
         ac_lut.lut12c.ctypes.data_as(u16p),
         ac_lut.lut16c.ctypes.data_as(u16p),
         ac_lut.vlut.ctypes.data_as(i32p),
-        plane.ctypes.data_as(i32p),
+        plane.ctypes.data_as(i16p),
         cfg.num_threads,
     )
     if rc == 0:
@@ -339,8 +341,9 @@ def decode_scan_native(
     pvluts = (i32p * len(luts))(
         *[lut.pvlut.ctypes.data_as(i32p) for lut in luts]
     )
-    plane_ptrs = (i32p * frame.ncs)(
-        *[planes.plane(i).ctypes.data_as(i32p) for i in range(frame.ncs)]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    plane_ptrs = (i16p * frame.ncs)(
+        *[planes.plane(i).ctypes.data_as(i16p) for i in range(frame.ncs)]
     )
     err = np.full(2, -1, dtype=np.int64)
 

@@ -224,16 +224,16 @@ struct ScanContext {
   int64_t ri;
   std::vector<UnitLayout> units;
   std::vector<HuffLut> luts;
-  int32_t** planes;
+  int16_t** planes;
 };
 
 inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
                                 const HuffLut& ac, int32_t* pred,
-                                int32_t* du) {
+                                int16_t* du) {
   // Mirrors decode_data_unit (decode.c:665-723); writes 64 zigzag coeffs.
   // One fill() per symbol covers both the code (<=16 bits) and its extend
   // bits (<=16): after consuming the code, >=41 buffered bits remain.
-  std::memset(du, 0, 64 * sizeof(int32_t));
+  std::memset(du, 0, 64 * sizeof(int16_t));
   br.fill();
   uint32_t idx = static_cast<uint32_t>(br.buf >> 48);
   uint32_t e = dc.lut12[idx >> 4];
@@ -249,7 +249,7 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
     br.consume(s);
     *pred += extend(v, s);
   }
-  du[0] = *pred;
+  du[0] = static_cast<int16_t>(*pred);
 
   // vlut entries are non-negative by construction (kind lives in bits
   // 27:26), so INT32_MIN marks "refill / bounds check needed".
@@ -309,7 +309,7 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
     if (size) {
       int32_t v = static_cast<int32_t>(br.buf >> (64 - size));
       br.consume(size);
-      du[i] = extend(v, size);
+      du[i] = static_cast<int16_t>(extend(v, size));
     }
     i++;
   }
@@ -324,7 +324,7 @@ int decode_segment_sequential(const ScanContext& c, int64_t seg,
   int64_t mcu_hi = c.ri ? std::min<int64_t>(mcu_lo + c.ri, c.total_mcus)
                         : c.total_mcus;
   int32_t preds[4] = {0, 0, 0, 0};
-  int32_t scratch[64];  // sink for the rare out-of-plane blocks
+  int16_t scratch[64];  // sink for the rare out-of-plane blocks
 
   for (int64_t m = mcu_lo; m < mcu_hi; m++) {
     for (const UnitLayout& ul : c.units) {
@@ -332,7 +332,7 @@ int decode_segment_sequential(const ScanContext& c, int64_t seg,
       int64_t bx = base % ul.wrap;
       int64_t by = (base / ul.wrap) * ul.v + ul.j;
       // Decode straight into the plane (no staging buffer / memcpy).
-      int32_t* du = (by < ul.plane_bh && bx < ul.plane_bw)
+      int16_t* du = (by < ul.plane_bh && bx < ul.plane_bw)
                         ? c.planes[ul.plane] + (by * ul.plane_bw + bx) * 64
                         : scratch;
       int rc = decode_du_sequential(br, c.luts[ul.dc_lut], c.luts[ul.ac_lut],
@@ -366,7 +366,7 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
   const bool is_dc = pp.ss == 0;
   const int32_t p1 = 1 << pp.al;
   const int32_t m1 = -(1 << pp.al);
-  int32_t scratch[64];  // sink for out-of-bounds blocks (never hit on
+  int16_t scratch[64];  // sink for out-of-bounds blocks (never hit on
                         // well-formed streams; planes are MCU-padded)
 
   for (int64_t m = mcu_lo; m < mcu_hi; m++) {
@@ -375,7 +375,7 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
       int64_t bx = base % ul.wrap;
       int64_t by = (base / ul.wrap) * ul.v + ul.j;
       bool in_bounds = by < ul.plane_bh && bx < ul.plane_bw;
-      int32_t* coef =
+      int16_t* coef =
           in_bounds ? c.planes[ul.plane] + (by * ul.plane_bw + bx) * 64
                     : scratch;
 
@@ -385,11 +385,11 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
         if (rc != JDT_OK) { *err_mcu = m; return rc; }
         if (s > 15) { *err_mcu = m; return JDT_ERR_COEF_RANGE; }
         preds[ul.scomp] += extend(br.receive(s), s);
-        coef[0] = preds[ul.scomp] << pp.al;
+        coef[0] = static_cast<int16_t>(preds[ul.scomp] << pp.al);
       } else if (is_dc) {
         // DC refine (G.1.2.1). The reference omits the <<al shift
         // (decode.c:1055) — that is a bug, not a parity target.
-        if (br.bit()) coef[0] |= p1;
+        if (br.bit()) coef[0] = static_cast<int16_t>(coef[0] | p1);
       } else if (pp.ah == 0) {
         // AC first pass (G.1.2.2) — pvlut fast path: code + extend (or
         // EOBn run) resolved per 12-bit lookup; slow path for long codes.
@@ -405,9 +405,9 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
             if (kind == HuffLut::PKIND_COEF) {
               k += (en >> 22) & 0x0F;
               if (k > pp.se) { *err_mcu = m; return JDT_ERR_COEF_RANGE; }
-              coef[k] = static_cast<int32_t>(
-                            static_cast<int16_t>(en & 0xFFFF))
-                        << pp.al;
+              coef[k] = static_cast<int16_t>(
+                  static_cast<int32_t>(static_cast<int16_t>(en & 0xFFFF))
+                  << pp.al);
               br.consume((en >> 16) & 0x3F);
               k++;
               continue;
@@ -438,7 +438,8 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
             }
             k += run;
             if (k > pp.se) { *err_mcu = m; return JDT_ERR_COEF_RANGE; }
-            coef[k] = extend(br.receive(size), size) << pp.al;
+            coef[k] = static_cast<int16_t>(
+                extend(br.receive(size), size) << pp.al);
             k++;
           }
         }
@@ -467,14 +468,15 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
             while (k <= pp.se) {
               if (coef[k] != 0) {
                 if (br.bit() && (coef[k] & p1) == 0)
-                  coef[k] += coef[k] >= 0 ? p1 : m1;
+                  coef[k] = static_cast<int16_t>(coef[k] +
+                                                 (coef[k] >= 0 ? p1 : m1));
               } else {
                 if (run == 0) break;
                 run--;
               }
               k++;
             }
-            if (val != 0 && k <= pp.se) coef[k] = val;
+            if (val != 0 && k <= pp.se) coef[k] = static_cast<int16_t>(val);
             k++;
           }
         }
@@ -482,7 +484,8 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
           while (k <= pp.se) {
             if (coef[k] != 0) {
               if (br.bit() && (coef[k] & p1) == 0)
-                coef[k] += coef[k] >= 0 ? p1 : m1;
+                coef[k] = static_cast<int16_t>(coef[k] +
+                                               (coef[k] >= 0 ? p1 : m1));
             }
             k++;
           }
@@ -547,7 +550,7 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
                           const uint16_t* const* lut16s,
                           const int32_t* const* vluts,
                           const int32_t* const* pvluts, int32_t n_luts,
-                          int32_t** planes) {
+                          int16_t** planes) {
   ScanContext c;
   c.data = data;
   c.seg_bounds = seg_bounds;
@@ -615,7 +618,7 @@ void speculative_worker(const uint8_t* data, int64_t scan_start,
   }
   BitReader br;
   br.init(data + chunk_begin, data + scan_end);
-  int32_t du[64];
+  int16_t du[64];
   out->dus.reserve(static_cast<size_t>(reserve_hint) * 64);
   int64_t retries = 0;
   constexpr int64_t kMaxRetries = 1 << 16;
@@ -652,7 +655,7 @@ void speculative_worker(const uint8_t* data, int64_t scan_start,
 int decode_speculative(const uint8_t* data, int64_t scan_start,
                        int64_t scan_end, int64_t total_dus,
                        const UnitLayout& ul, const HuffLut& dc,
-                       const HuffLut& ac, int32_t* plane, int32_t n_threads) {
+                       const HuffLut& ac, int16_t* plane, int32_t n_threads) {
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   int64_t span = scan_end - scan_start;
   int k = std::min<int64_t>(n_threads, span / (1 << 16));  // >=64KB per chunk
@@ -783,17 +786,17 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   auto scatter = [&](int t) {
     int64_t idx = idx_base[t];
     int32_t pred = pred_base[t];
-    int32_t scratch[64];
+    int16_t scratch[64];
     for (int64_t j = first_valid[t]; j < last_valid[t]; j++, idx++) {
       const int32_t* du = chunks[t].dus.data() + j * 64;
       int64_t bx = idx % ul.wrap;
       int64_t by = (idx / ul.wrap);
-      int32_t* dst = (by < ul.plane_bh && bx < ul.plane_bw)
+      int16_t* dst = (by < ul.plane_bh && bx < ul.plane_bw)
                          ? plane + (by * ul.plane_bw + bx) * 64
                          : scratch;
-      std::memcpy(dst, du, 64 * sizeof(int32_t));
+      for (int q = 0; q < 64; q++) dst[q] = static_cast<int16_t>(du[q]);
       pred += du[0];
-      dst[0] = pred;
+      dst[0] = static_cast<int16_t>(pred);
     }
   };
   std::vector<std::thread> spool;
@@ -807,7 +810,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
 
 extern "C" {
 
-int32_t jdt_version() { return 3; }
+int32_t jdt_version() { return 4; }
 
 // Entropy-span prescan: find where a scan's entropy bytes end and every
 // in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),
@@ -860,7 +863,7 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
                               const uint16_t* const* lut16s,
                               const int32_t* const* vluts,
                               const int32_t* const* pvluts,
-                              int32_t n_luts, int32_t** planes,
+                              int32_t n_luts, int16_t** planes,
                               int32_t n_threads, int64_t* err_out) {
   if (n_segs <= 0 || n_units <= 0 || n_luts <= 0) return JDT_ERR_BAD_ARG;
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
@@ -878,7 +881,7 @@ int32_t jdt_decode_sequential_spec(
     int64_t total_dus, const int32_t* unit_params,
     const uint16_t* dc12, const uint16_t* dc16, const int32_t* dcv,
     const uint16_t* ac12, const uint16_t* ac16, const int32_t* acv,
-    int32_t* plane, int32_t n_threads) {
+    int16_t* plane, int32_t n_threads) {
   if (total_dus <= 0) return JDT_ERR_BAD_ARG;
   UnitLayout ul{unit_params[0], unit_params[1], unit_params[2],
                 unit_params[3], unit_params[4], unit_params[5],
@@ -898,7 +901,7 @@ int32_t jdt_decode_progressive(const uint8_t* data, const int64_t* seg_bounds,
                                const uint16_t* const* lut16s,
                                const int32_t* const* vluts,
                                const int32_t* const* pvluts,
-                               int32_t n_luts, int32_t** planes,
+                               int32_t n_luts, int16_t** planes,
                                int32_t ss, int32_t se, int32_t ah, int32_t al,
                                int32_t n_threads, int64_t* err_out) {
   if (n_segs <= 0 || n_units <= 0) return JDT_ERR_BAD_ARG;
