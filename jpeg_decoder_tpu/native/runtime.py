@@ -90,11 +90,14 @@ def _load():
             u8p,                                 # data
             ctypes.c_int64,                      # scan_start
             ctypes.c_int64,                      # scan_end
-            ctypes.c_int64,                      # total_dus
-            i32pp,                               # unit_params (11)
-            u16p, u16p, i32pp,                   # dc lut12/lut16/vlut
-            u16p, u16p, i32pp,                   # ac lut12/lut16/vlut
-            i16pp,                               # plane (int16 coeff IR)
+            ctypes.c_int64,                      # total_mcus
+            i32pp,                               # unit_params [n_units x 11]
+            ctypes.c_int32,                      # n_units
+            ctypes.POINTER(u16p),                # lut12s
+            ctypes.POINTER(u16p),                # lut16s
+            ctypes.POINTER(i32pp),               # vluts
+            ctypes.c_int32,                      # n_luts
+            ctypes.POINTER(i16pp),               # planes (int16 coeff IR)
             ctypes.c_int32,                      # n_threads
         ]
         lib.jdt_encode_scan.restype = ctypes.c_int32
@@ -126,7 +129,7 @@ def _load():
             i64p, ctypes.c_int64,                  # rst_out, max_rst
             i64p,                                  # n_rst_out
         ]
-        if lib.jdt_version() != 4:
+        if lib.jdt_version() != 5:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -258,42 +261,51 @@ def _try_speculative(
     structure: JpegStructure, scan: Scan, planes: CoefficientPlanes,
     cfg: DecodeConfig, total_mcus: int, params: np.ndarray, luts,
 ) -> bool:
-    """Chunk-parallel decode of a no-restart single-component sequential
-    scan via Huffman self-synchronization (jdt_decode_sequential_spec).
-    Returns True when the speculative path succeeded."""
+    """Chunk-parallel decode of a no-restart sequential scan via Huffman
+    self-synchronization (jdt_decode_sequential_spec) — single-component or
+    interleaved (the table phase is folded into the sync key on the C++
+    side). Returns True when the speculative path succeeded."""
     lib = _load()
     sh = scan.header
     if (
-        sh.nics != 1
-        or scan.restart_interval != 0
+        scan.restart_interval != 0
         or scan.span.num_segments != 1  # stray RSTn bytes: serial path errors
         or structure.frame.process == Encoding.PROGRESSIVE_DCT
-        or total_mcus < 2048  # not worth the stitch overhead
+        or total_mcus * params.shape[0] < 4096  # not worth stitch overhead
         or cfg.num_threads == 1
     ):
         return False
-    u = params[0]
-    dc_lut, ac_lut = luts[u[2]], luts[u[3]]
-    ci = int(u[0])
-    plane = planes.plane(ci)
+    frame = structure.frame
     i32p = ctypes.POINTER(ctypes.c_int32)
     i16p = ctypes.POINTER(ctypes.c_int16)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     data = np.ascontiguousarray(structure.data)
+    params_c = np.ascontiguousarray(params, dtype=np.int32)
+    lut12s = (u16p * len(luts))(
+        *[lut.lut12c.ctypes.data_as(u16p) for lut in luts]
+    )
+    lut16s = (u16p * len(luts))(
+        *[lut.lut16c.ctypes.data_as(u16p) for lut in luts]
+    )
+    vluts = (i32p * len(luts))(
+        *[lut.vlut.ctypes.data_as(i32p) for lut in luts]
+    )
+    plane_ptrs = (i16p * frame.ncs)(
+        *[planes.plane(i).ctypes.data_as(i16p) for i in range(frame.ncs)]
+    )
     rc = lib.jdt_decode_sequential_spec(
         data.ctypes.data_as(u8p),
         int(scan.span.start),
         int(scan.span.end),
         total_mcus,
-        np.ascontiguousarray(u, dtype=np.int32).ctypes.data_as(i32p),
-        dc_lut.lut12c.ctypes.data_as(u16p),
-        dc_lut.lut16c.ctypes.data_as(u16p),
-        dc_lut.vlut.ctypes.data_as(i32p),
-        ac_lut.lut12c.ctypes.data_as(u16p),
-        ac_lut.lut16c.ctypes.data_as(u16p),
-        ac_lut.vlut.ctypes.data_as(i32p),
-        plane.ctypes.data_as(i16p),
+        params_c.ctypes.data_as(i32p),
+        params_c.shape[0],
+        lut12s,
+        lut16s,
+        vluts,
+        len(luts),
+        plane_ptrs,
         cfg.num_threads,
     )
     if rc == 0:

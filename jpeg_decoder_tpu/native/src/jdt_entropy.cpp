@@ -25,6 +25,7 @@
 // C ABI only (loaded via ctypes); no Python.h dependency.
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <limits>
@@ -32,6 +33,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <thread>
+#include <chrono>
 #include <vector>
 
 namespace {
@@ -573,40 +575,66 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
 // ---------------------------------------------------------------------------
 // Speculative self-synchronizing parallel decode (no restart markers).
 //
-// For single-component sequential scans WITHOUT restart intervals there is
-// no built-in parallel seam; this implements the overlap-synchronization
-// technique from the GPU JPEG-decoding literature (Weißenberger & Schmidt,
+// For sequential scans WITHOUT restart intervals there is no built-in
+// parallel seam; this implements the overlap-synchronization technique from
+// the GPU JPEG-decoding literature (Weissenberger & Schmidt,
 // arXiv:2111.09219): the entropy span splits into K byte chunks; worker k
-// starts decoding at its chunk boundary with UNKNOWN bit alignment and
-// records every data-unit start position. Huffman streams self-synchronize:
-// within a few data units the misaligned decode converges onto the true
-// boundary lattice, so worker k-1 (which overruns its chunk end by a fixed
-// window) and worker k share a common boundary — everything worker k
-// decoded after that point is provably identical to the true decode.
-// DC values are stored as DIFFS during speculation (alignment-independent)
-// and resolved by a prefix sum after stitching. Any anomaly — no sync,
-// decode error, wrong total — falls back to the serial path.
+// starts decoding at its chunk boundary with UNKNOWN bit alignment (and,
+// for interleaved scans, UNKNOWN unit-within-MCU phase) and records every
+// data-unit start. Huffman streams self-synchronize: within a few data
+// units a misaligned decode converges onto the true boundary lattice, so
+// worker k-1 (which overruns its chunk end by a fixed window) and worker k
+// share a common boundary — everything worker k decoded after that point is
+// provably identical to the true decode.
 //
-// Single-component only: interleaved scans rotate Huffman tables per unit
-// within an MCU, and a speculative decoder cannot know its phase; restart
-// streams don't need this machinery at all.
+// INTERLEAVED scans (the common camera/web JPEG shape) are handled by
+// folding the table phase into the synchronization key: each recorded DU
+// carries key = bitpos * P + phase, where P = units-per-MCU and phase is
+// the unit index within the MCU the worker ASSUMED for that DU (choosing
+// which DC/AC tables it decoded with). Keys are strictly monotone (a DU
+// consumes >= 3 bits > (P-1)/P), so the merge-join over sorted key lists
+// still works; a key match proves both the bit position AND the table
+// schedule agree, after which both chains consume identical bits with
+// identical tables — the suffix is deterministic and exactly the true
+// decode. Workers explore the (bit-shift x phase-rotation) hypothesis
+// space on decode errors; wrong-phase chains that decode "successfully"
+// never key-match the predecessor's absolute chain and are discarded.
+//
+// DC values are stored as DIFFS during speculation (alignment-independent)
+// and resolved by per-scan-component prefix sums after stitching. Any
+// anomaly — no sync, decode error in the exact chain, wrong total, phase
+// lattice mismatch — falls back to the serial path.
 // ---------------------------------------------------------------------------
 
 struct SpecChunk {
-  std::vector<int32_t> dus;     // 64 per DU, du[0] = DC DIFF
-  std::vector<int64_t> bounds;  // global unstuffed bit pos of each DU start
+  std::vector<int16_t> dus;   // 64 per DU, du[0] = DC DIFF (fits int16:
+                              // a single EXTEND is <= 15 bits)
+  std::vector<int32_t> dcs;   // compact copy of each DU's DC diff — the
+                              // prefix pass reads these 4B/DU instead of
+                              // touching every 128B staging cache line
+  std::vector<int64_t> keys;  // global unstuffed bitpos * P + phase per DU
   bool error = false;
 };
 
 constexpr int64_t kOverrunBits = 24 * 1024;  // overlap window per boundary
 
+// When `planes` is non-null the worker is the EXACT chunk-0 chain: its
+// alignment, phase, and DC predictors are ground truth from the first bit,
+// so it decodes STRAIGHT into the coefficient planes (skipping its share
+// of staging write+read+scatter). It still records keys (for the stitch
+// with chunk 1) and compact DC diffs (for the successor's predictor base).
+// Overlap DUs past the eventual sync point hold correct values, so chunk
+// 1's scatter merely rewrites identical data.
 void speculative_worker(const uint8_t* data, int64_t scan_start,
                         int64_t chunk_begin, int64_t scan_end,
                         int64_t global_unstuffed_base,  // bits before chunk
                         int64_t stop_after_bits,        // global bit limit
                         int64_t max_dus, int64_t reserve_hint,
-                        const HuffLut& dc, const HuffLut& ac, bool exact,
-                        SpecChunk* out) {
+                        const std::vector<UnitLayout>* units,
+                        const std::vector<HuffLut>* luts, bool exact,
+                        int16_t** planes, SpecChunk* out) {
+  auto t0 = std::chrono::steady_clock::now();
+  const int P = static_cast<int>(units->size());
   // A chunk must not begin on the 0x00 of a stuffed FF00 pair. The base
   // correction: chunk_bits counted that pair's 0x00 as "stuffed before",
   // but the preceding 0xFF is content before the bumped cursor, so the
@@ -618,50 +646,108 @@ void speculative_worker(const uint8_t* data, int64_t scan_start,
   }
   BitReader br;
   br.init(data + chunk_begin, data + scan_end);
-  int16_t du[64];
-  out->dus.reserve(static_cast<size_t>(reserve_hint) * 64);
+  int16_t stage[64];
+  int16_t scratch[64];
+  const bool direct = planes != nullptr;
+  if (!direct) out->dus.reserve(static_cast<size_t>(reserve_hint) * 64);
   int64_t retries = 0;
   constexpr int64_t kMaxRetries = 1 << 16;
-  while (static_cast<int64_t>(out->bounds.size()) < max_dus) {
+  int phase = 0;  // unit-within-MCU hypothesis for the NEXT data unit
+  int rot = 0;    // phase rotations already tried at the current bit
+  int32_t preds[4] = {0, 0, 0, 0};  // live predictors (direct mode only)
+  while (static_cast<int64_t>(out->keys.size()) < max_dus) {
     int64_t pos = global_unstuffed_base + br.unstuffed_pos();
     if (pos >= stop_after_bits) break;
-    BitReader at_start = br;  // snapshot for 1-bit resync on failure
-    int32_t zero = 0;  // DC stored as diff: fresh predictor per DU
-    int rc = decode_du_sequential(br, dc, ac, &zero, du);
+    BitReader at_start = br;  // snapshot for resync on failure
+    const UnitLayout& ul = (*units)[phase];
+    int16_t* du = stage;
+    int32_t dc_diff = 0;
+    int32_t* pred = &dc_diff;  // DC stored as diff: fresh predictor per DU
+    if (direct) {
+      int64_t idx = static_cast<int64_t>(out->keys.size());
+      int64_t base = (idx / P) * ul.h + ul.k;
+      int64_t bx = base % ul.wrap;
+      int64_t by = (base / ul.wrap) * ul.v + ul.j;
+      du = (by < ul.plane_bh && bx < ul.plane_bw)
+               ? planes[ul.plane] + (by * ul.plane_bw + bx) * 64
+               : scratch;
+      int32_t before = preds[ul.scomp];
+      pred = &preds[ul.scomp];
+      dc_diff = before;  // so dc_diff below can recover the diff
+    }
+    int rc = decode_du_sequential(br, (*luts)[ul.dc_lut], (*luts)[ul.ac_lut],
+                                  pred, du);
     if (rc != JDT_OK) {
-      // Misaligned speculation hit an invalid prefix / overlong block:
-      // shift the start hypothesis by ONE BIT and try again — this is
-      // what makes self-synchronization converge (incomplete JPEG code
-      // tables reject most wrong alignments quickly). The EXACT worker
-      // (chunk 0, true alignment) must NOT resync: its errors are real
-      // stream corruption and force the serial fallback's error report.
+      // Misaligned/mis-phased speculation hit an invalid prefix or an
+      // overlong block: explore the hypothesis space — first rotate the
+      // phase at this bit (P-1 more options), then shift the start by ONE
+      // BIT and start the rotation over. This is what makes
+      // self-synchronization converge (incomplete JPEG code tables reject
+      // most wrong hypotheses quickly). The EXACT worker (chunk 0, true
+      // alignment and phase) must NOT resync: its errors are real stream
+      // corruption and force the serial fallback's error report.
       if (exact || ++retries > kMaxRetries) {
         out->error = true;
         break;
       }
+      // Past the real (unstuffed) end the reader fabricates zero bytes —
+      // no valid DU can start there, so retrying hypotheses against the
+      // padding only burns time (the last chunk would otherwise spin
+      // through the full retry budget after the final real data unit).
+      if (at_start.overran()) {
+        out->error = true;
+        break;
+      }
       br = at_start;
-      br.fill();
-      br.consume(1);
+      if (++rot < P) {
+        phase = (phase + 1) % P;
+      } else {
+        rot = 0;
+        phase = (phase + 1) % P;  // net effect: back to the pre-rotation
+                                  // phase, at the next bit offset
+        br.fill();
+        br.consume(1);
+      }
       continue;
     }
-    out->bounds.push_back(pos);
-    out->dus.insert(out->dus.end(), du, du + 64);
+    rot = 0;
+    out->keys.push_back(pos * P + phase);
+    if (direct) {
+      out->dcs.push_back(*pred - dc_diff);  // store the DIFF, not the value
+    } else {
+      out->dcs.push_back(du[0]);
+      out->dus.insert(out->dus.end(), du, du + 64);
+    }
+    phase = (phase + 1) % P;
     if (br.overran()) break;  // consuming fabricated padding: stream over
+  }
+  if (std::getenv("JDT_DEBUG")) {
+    auto t1 = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[spec] worker base=%lld: %.2fms %zu dus\n",
+                 (long long)global_unstuffed_base,
+                 std::chrono::duration<double, std::milli>(t1 - t0).count(),
+                 out->keys.size());
   }
 }
 
-// Returns JDT_OK and fills `plane` on success; JDT_ERR_BAD_ARG signals
+// Returns JDT_OK and fills `planes` on success; JDT_ERR_BAD_ARG signals
 // "could not synchronize — caller must run the serial path".
 int decode_speculative(const uint8_t* data, int64_t scan_start,
-                       int64_t scan_end, int64_t total_dus,
-                       const UnitLayout& ul, const HuffLut& dc,
-                       const HuffLut& ac, int16_t* plane, int32_t n_threads) {
+                       int64_t scan_end, int64_t total_mcus,
+                       const std::vector<UnitLayout>& units,
+                       const std::vector<HuffLut>& luts, int16_t** planes,
+                       int32_t n_threads) {
+  const int P = static_cast<int>(units.size());
+  const int64_t total_dus = total_mcus * P;
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   int64_t span = scan_end - scan_start;
   int k = std::min<int64_t>(n_threads, span / (1 << 16));  // >=64KB per chunk
   if (k < 2) return JDT_ERR_BAD_ARG;
 
   // Global unstuffed bit offset of each chunk start: count FF00 pairs.
+  // memchr hops 0xFF to 0xFF (libc SIMD scan) — high-entropy streams have
+  // ~2 FFs per 256 bytes, so this replaces a byte-serial pass over the
+  // whole span with a sparse walk.
   std::vector<int64_t> chunk_byte(k + 1), chunk_bits(k + 1);
   std::vector<int64_t> stuffed_before(k + 1, 0);
   for (int i = 0; i <= k; i++)
@@ -669,19 +755,25 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   {
     int64_t stuffed = 0;
     int next = 1;
-    for (int64_t b = scan_start; b < scan_end && next <= k; b++) {
-      while (next <= k && b == chunk_byte[next]) {
+    int64_t b = scan_start;
+    while (b < scan_end && next <= k) {
+      const void* hit = std::memchr(data + b, 0xFF, scan_end - b);
+      int64_t ff = hit ? static_cast<const uint8_t*>(hit) - data : scan_end;
+      while (next <= k && chunk_byte[next] <= ff) {
         stuffed_before[next] = stuffed;
         next++;
       }
-      if (data[b] == 0xFF && b + 1 < scan_end && data[b + 1] == 0x00)
-        stuffed++;
+      if (ff >= scan_end) break;
+      if (ff + 1 < scan_end && data[ff + 1] == 0x00) stuffed++;
+      b = ff + 1;
     }
+    while (next <= k) stuffed_before[next++] = stuffed;
   }
   for (int i = 0; i <= k; i++)
     chunk_bits[i] = 8 * (chunk_byte[i] - scan_start - stuffed_before[i]);
 
   const bool dbg = std::getenv("JDT_DEBUG") != nullptr;
+  auto t_setup = std::chrono::steady_clock::now();
   std::vector<SpecChunk> chunks(k);
   std::vector<std::thread> pool;
   for (int t = 0; t < k; t++) {
@@ -689,39 +781,41 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
                        ? chunk_bits[t + 1] + kOverrunBits
                        : std::numeric_limits<int64_t>::max();
     pool.emplace_back(speculative_worker, data, scan_start, chunk_byte[t],
-                      scan_end, chunk_bits[t], stop, total_dus + 64,
-                      total_dus / k + 4096, std::cref(dc), std::cref(ac),
-                      t == 0, &chunks[t]);
+                      scan_end, chunk_bits[t], stop, total_dus + P * 16,
+                      total_dus / k + 4096, &units, &luts, t == 0,
+                      t == 0 ? planes : nullptr, &chunks[t]);
   }
   for (auto& th : pool) th.join();
+  auto t_workers = std::chrono::steady_clock::now();
 
   if (dbg) {
     for (int t = 0; t < k; t++) {
       std::fprintf(stderr,
                    "[spec] chunk %d: base=%lld dus=%zu err=%d first=%lld "
                    "last=%lld\n",
-                   t, (long long)chunk_bits[t], chunks[t].bounds.size(),
+                   t, (long long)chunk_bits[t], chunks[t].keys.size(),
                    (int)chunks[t].error,
-                   chunks[t].bounds.empty() ? -1LL
-                                            : (long long)chunks[t].bounds.front(),
-                   chunks[t].bounds.empty() ? -1LL
-                                            : (long long)chunks[t].bounds.back());
+                   chunks[t].keys.empty() ? -1LL
+                                          : (long long)chunks[t].keys.front(),
+                   chunks[t].keys.empty() ? -1LL
+                                          : (long long)chunks[t].keys.back());
     }
   }
 
-  // Stitch: for each adjacent pair find the first common DU boundary at or
-  // after the later chunk's start. splice_idx[t] = first valid DU index in
-  // chunk t; splice_end[t] = one-past-last (from the next sync point).
+  // Stitch: for each adjacent pair find the first common (position, phase)
+  // key at or after the later chunk's start. first_valid[t] = first valid
+  // DU index in chunk t; last_valid[t] = one-past-last.
   if (chunks[0].error) return JDT_ERR_BAD_ARG;  // real corruption: let the
                                                 // serial path report it
   std::vector<int64_t> first_valid(k, 0), last_valid(k, 0);
   first_valid[0] = 0;
   for (int t = 0; t + 1 < k; t++) {
-    const auto& a = chunks[t].bounds;
-    const auto& b = chunks[t + 1].bounds;
+    const auto& a = chunks[t].keys;
+    const auto& b = chunks[t + 1].keys;
     int64_t ai = 0, bi = 0, sync_a = -1, sync_b = -1;
     // advance a to the overlap region
-    while (ai < static_cast<int64_t>(a.size()) && a[ai] < chunk_bits[t + 1])
+    while (ai < static_cast<int64_t>(a.size()) &&
+           a[ai] < chunk_bits[t + 1] * P)
       ai++;
     while (ai < static_cast<int64_t>(a.size()) &&
            bi < static_cast<int64_t>(b.size())) {
@@ -738,13 +832,14 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
       return JDT_ERR_BAD_ARG;  // no sync: fallback
     }
     if (dbg)
-      std::fprintf(stderr, "[spec] sync %d->%d at bit %lld (a#%lld b#%lld)\n",
-                   t, t + 1, (long long)a[sync_a], (long long)sync_a,
-                   (long long)sync_b);
+      std::fprintf(stderr,
+                   "[spec] sync %d->%d at bit %lld phase %d (a#%lld b#%lld)\n",
+                   t, t + 1, (long long)(a[sync_a] / P), (int)(a[sync_a] % P),
+                   (long long)sync_a, (long long)sync_b);
     last_valid[t] = sync_a;          // chunk t contributes [first, sync_a)
     first_valid[t + 1] = sync_b;     // chunk t+1 valid from sync_b on
   }
-  last_valid[k - 1] = static_cast<int64_t>(chunks[k - 1].bounds.size());
+  last_valid[k - 1] = static_cast<int64_t>(chunks[k - 1].keys.size());
   // The last worker has no DU-count target of its own and may run into the
   // stream's 1-fill padding after the final real data unit (flagging a
   // truncation "error") — trailing overshoot is trimmed by the global
@@ -765,44 +860,98 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
     return JDT_ERR_BAD_ARG;
   }
 
-  // Scatter with DC prefix sum (single component, no restarts: one
-  // predictor chain over the whole scan). Per-chunk starting predictors
-  // and DU-index bases are computed serially (cheap adds), then each
-  // chunk scatters concurrently.
-  std::vector<int64_t> idx_base(k, 0);
-  std::vector<int32_t> pred_base(k, 0);
+  // Phase-lattice safety net: each chunk's first valid DU must sit at the
+  // phase its global index implies (chunk 0 anchors the absolute lattice).
+  // A mismatch can only come from a corrupt stream confusing the stitch.
   {
     int64_t idx = 0;
-    int64_t pred = 0;
+    for (int t = 0; t < k; t++) {
+      if (last_valid[t] > first_valid[t]) {
+        int ph = static_cast<int>(chunks[t].keys[first_valid[t]] % P);
+        if (ph != static_cast<int>(idx % P)) {
+          if (dbg)
+            std::fprintf(stderr, "[spec] phase lattice mismatch at chunk %d\n",
+                         t);
+          return JDT_ERR_BAD_ARG;
+        }
+      }
+      idx += last_valid[t] - first_valid[t];
+    }
+  }
+
+  // Scatter with per-scan-component DC prefix sums (no restarts: one
+  // predictor chain per component over the whole scan). Per-chunk starting
+  // predictors and DU-index bases are computed serially (cheap adds), then
+  // each chunk scatters concurrently.
+  std::vector<int64_t> idx_base(k, 0);
+  std::vector<std::array<int32_t, 4>> pred_base(k);
+  {
+    // Per-chunk per-component diff sums in parallel, then a serial combine
+    // of k tiny vectors — the only serial dependence between chunks.
+    std::vector<std::array<int32_t, 4>> sums(k, {0, 0, 0, 0});
+    {
+      std::vector<std::thread> tpool;
+      int64_t idx0 = 0;
+      std::vector<int64_t> idx_start(k);
+      for (int t = 0; t < k; t++) {
+        idx_start[t] = idx0;
+        idx0 += last_valid[t] - first_valid[t];
+      }
+      auto sum_chunk = [&](int t) {
+        const int32_t* dcs = chunks[t].dcs.data();
+        int64_t idx = idx_start[t];
+        std::array<int32_t, 4> acc = {0, 0, 0, 0};
+        for (int64_t j = first_valid[t]; j < last_valid[t]; j++, idx++)
+          acc[units[idx % P].scomp] += dcs[j];
+        sums[t] = acc;
+      };
+      for (int t = 1; t < k; t++) tpool.emplace_back(sum_chunk, t);
+      sum_chunk(0);
+      for (auto& th : tpool) th.join();
+    }
+    int64_t idx = 0;
+    std::array<int32_t, 4> preds = {0, 0, 0, 0};
     for (int t = 0; t < k; t++) {
       idx_base[t] = idx;
-      pred_base[t] = static_cast<int32_t>(pred);
-      const int32_t* dus = chunks[t].dus.data();
-      for (int64_t j = first_valid[t]; j < last_valid[t]; j++)
-        pred += dus[j * 64];
+      pred_base[t] = preds;
+      for (int c = 0; c < 4; c++) preds[c] += sums[t][c];
       idx += last_valid[t] - first_valid[t];
     }
   }
   auto scatter = [&](int t) {
     int64_t idx = idx_base[t];
-    int32_t pred = pred_base[t];
+    std::array<int32_t, 4> preds = pred_base[t];
     int16_t scratch[64];
     for (int64_t j = first_valid[t]; j < last_valid[t]; j++, idx++) {
-      const int32_t* du = chunks[t].dus.data() + j * 64;
-      int64_t bx = idx % ul.wrap;
-      int64_t by = (idx / ul.wrap);
+      const int16_t* du = chunks[t].dus.data() + j * 64;
+      int64_t m = idx / P;
+      const UnitLayout& ul = units[idx % P];
+      int64_t base = m * ul.h + ul.k;
+      int64_t bx = base % ul.wrap;
+      int64_t by = (base / ul.wrap) * ul.v + ul.j;
       int16_t* dst = (by < ul.plane_bh && bx < ul.plane_bw)
-                         ? plane + (by * ul.plane_bw + bx) * 64
+                         ? planes[ul.plane] + (by * ul.plane_bw + bx) * 64
                          : scratch;
-      for (int q = 0; q < 64; q++) dst[q] = static_cast<int16_t>(du[q]);
-      pred += du[0];
-      dst[0] = static_cast<int16_t>(pred);
+      std::memcpy(dst, du, 64 * sizeof(int16_t));
+      preds[ul.scomp] += du[0];
+      dst[0] = static_cast<int16_t>(preds[ul.scomp]);
     }
   };
+  // Chunk 0 already decoded directly into the planes; scatter the rest.
+  auto t_stitch = std::chrono::steady_clock::now();
   std::vector<std::thread> spool;
-  for (int t = 1; t < k; t++) spool.emplace_back(scatter, t);
-  scatter(0);
+  for (int t = 2; t < k; t++) spool.emplace_back(scatter, t);
+  scatter(1);
   for (auto& th : spool) th.join();
+  if (dbg) {
+    auto t_done = std::chrono::steady_clock::now();
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+    std::fprintf(stderr, "[spec] workers=%.2fms stitch=%.2fms scatter=%.2fms\n",
+                 ms(t_setup, t_workers), ms(t_workers, t_stitch),
+                 ms(t_stitch, t_done));
+  }
   return JDT_OK;
 }
 
@@ -810,7 +959,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
 
 extern "C" {
 
-int32_t jdt_version() { return 4; }
+int32_t jdt_version() { return 5; }
 
 // Entropy-span prescan: find where a scan's entropy bytes end and every
 // in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),
@@ -872,25 +1021,30 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
   return run_segments(c, n_threads, err_out, decode_segment_sequential);
 }
 
-// Speculative chunk-parallel decode of a single-component, no-restart
-// sequential scan (see decode_speculative above). Returns JDT_OK on
-// success; JDT_ERR_BAD_ARG means "could not apply/synchronize" and the
-// caller should use jdt_decode_sequential instead.
+// Speculative chunk-parallel decode of a no-restart sequential scan —
+// single-component OR interleaved (phase folded into the sync key; see
+// decode_speculative above). Returns JDT_OK on success; JDT_ERR_BAD_ARG
+// means "could not apply/synchronize" and the caller should use
+// jdt_decode_sequential instead.
 int32_t jdt_decode_sequential_spec(
     const uint8_t* data, int64_t scan_start, int64_t scan_end,
-    int64_t total_dus, const int32_t* unit_params,
-    const uint16_t* dc12, const uint16_t* dc16, const int32_t* dcv,
-    const uint16_t* ac12, const uint16_t* ac16, const int32_t* acv,
-    int16_t* plane, int32_t n_threads) {
-  if (total_dus <= 0) return JDT_ERR_BAD_ARG;
-  UnitLayout ul{unit_params[0], unit_params[1], unit_params[2],
-                unit_params[3], unit_params[4], unit_params[5],
-                unit_params[6], unit_params[7], unit_params[8],
-                unit_params[9], unit_params[10]};
-  HuffLut dc{dc12, dc16, dcv, nullptr};
-  HuffLut ac{ac12, ac16, acv, nullptr};
-  return decode_speculative(data, scan_start, scan_end, total_dus, ul, dc,
-                            ac, plane, n_threads);
+    int64_t total_mcus, const int32_t* unit_params, int32_t n_units,
+    const uint16_t* const* lut12s, const uint16_t* const* lut16s,
+    const int32_t* const* vluts, int32_t n_luts, int16_t** planes,
+    int32_t n_threads) {
+  if (total_mcus <= 0 || n_units <= 0 || n_units > 10 || n_luts <= 0)
+    return JDT_ERR_BAD_ARG;
+  std::vector<UnitLayout> units(n_units);
+  for (int32_t u = 0; u < n_units; u++) {
+    const int32_t* q = unit_params + u * 11;
+    units[u] = UnitLayout{q[0], q[1], q[2], q[3], q[4], q[5],
+                          q[6], q[7], q[8], q[9], q[10]};
+  }
+  std::vector<HuffLut> luts(n_luts);
+  for (int32_t t = 0; t < n_luts; t++)
+    luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t], nullptr};
+  return decode_speculative(data, scan_start, scan_end, total_mcus, units,
+                            luts, planes, n_threads);
 }
 
 // Progressive scan (any of the four pass kinds), segment-parallel.

@@ -73,12 +73,64 @@ def test_small_streams_skip_speculation():
     assert not used  # under the MCU threshold
 
 
-def test_interleaved_streams_skip_speculation(rng):
-    arr = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+def _rgb_jpeg(h, w, seed=0, quality=85, subsampling=2):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     buf = io.BytesIO()
-    Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=85, subsampling=2)
-    s, planes, used = _spec_applies(buf.getvalue())
-    assert not used  # interleaved: table phase unknowable
+    Image.fromarray(arr, "RGB").save(
+        buf, "JPEG", quality=quality, subsampling=subsampling
+    )
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2], ids=["444", "422", "420"])
+def test_speculative_interleaved_matches_serial(subsampling):
+    """Interleaved no-DRI scans (the common camera/web shape): the sync key
+    carries the unit-within-MCU phase, so multi-component scans decode
+    chunk-parallel too — bit-identical to the serial path."""
+    data = _rgb_jpeg(768, 1024, seed=5, subsampling=subsampling)
+    s, planes, used = _spec_applies(data)
+    assert used, "speculative path should engage on large no-DRI interleaved"
+    serial, _ = nr.entropy_decode(s, CFG.replace(num_threads=1))
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(planes.plane(ci), serial.plane(ci))
+
+
+def test_speculative_interleaved_full_pipeline_vs_oracle():
+    data = _rgb_jpeg(640, 896, seed=11)
+    want = oracle.decode(data)
+    got = decoder.decode(data, CFG)
+    np.testing.assert_array_equal(got.rgb, want.rgb)
+
+
+def test_speculative_interleaved_corruption_consistency():
+    """Corrupt interleaved no-DRI streams: when both serial and speculative
+    succeed they must agree; the phase-lattice check forces fallback on any
+    stitch confusion."""
+    data = _rgb_jpeg(512, 768, seed=21)
+    rng = np.random.default_rng(17)
+    s0 = parse(data)
+    span = s0.scans[0].span
+    for _ in range(10):
+        bad = bytearray(data)
+        pos = int(rng.integers(span.start, span.end))
+        bad[pos] ^= 1 << int(rng.integers(0, 8))
+        bad = bytes(bad)
+        try:
+            serial, _ = nr.entropy_decode(parse(bad), CFG.replace(num_threads=1))
+            serial_ok = True
+        except Exception:
+            serial_ok = False
+        try:
+            spec, _ = nr.entropy_decode(parse(bad), CFG)
+            spec_ok = True
+        except Exception:
+            spec_ok = False
+        if serial_ok and spec_ok:
+            for ci in range(parse(bad).frame.ncs):
+                np.testing.assert_array_equal(
+                    spec.plane(ci), serial.plane(ci)
+                )
 
 
 def test_speculative_single_thread_config_skips():
