@@ -1,8 +1,11 @@
-"""Breakdown profile of the EXACT device stage on the bench workload.
+"""Attribution profile of the EXACT device stage on the bench workload.
 
-Times each sub-stage of the fused device program separately (batch-slope
-method per docs: t(B=1) vs t(B=8), slope cancels dispatch latency) so
-optimization effort lands on the actual hot spot. Writes stderr text only.
+Sub-stage timings are recovered by SUBSTITUTION, not by isolating
+subprograms: the full fused stage is timed with each numeric contract
+swapped independently (EXACT vs FLOAT32 idct x exact vs f32 color), all at
+the bench's batch size so XLA fusion matches the production program.
+Isolated subprogram timing is misleading here — un-fused (N, 8, 8) int16
+intermediates materialize with ~16-42x tile padding and OOM the chip.
 """
 
 from __future__ import annotations
@@ -20,9 +23,6 @@ def log(*a):
 
 
 def slope_time(fn, args, small=4, big=16, reps=5):
-    """Per-item time via batch slope between two LARGE batches (marginal
-    per-image rate improves with batch size on this hardware, so a B=1
-    anchor understates throughput; the bench uses B=16)."""
     f = jax.jit(jax.vmap(fn))
 
     def run(b):
@@ -37,6 +37,7 @@ def slope_time(fn, args, small=4, big=16, reps=5):
             leaf = jax.tree_util.tree_leaves(out)[0]
             np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
             ts.append(time.perf_counter() - t0)
+        del arrs, out
         return float(np.median(ts))
 
     ts, tb = run(small), run(big)
@@ -62,69 +63,43 @@ def main():
     comps = frame.components
     h, w = frame.height, frame.width
     log(f"device: {jax.devices()[0].device_kind}")
-
     qtables = [np.asarray(qts[c.qtid], dtype=np.uint16) for c in comps]
 
-    # --- per-component IDCT (EXACT) ---------------------------------------
-    pix_planes = []
-    for ci, c in enumerate(comps):
-        blocks = planes.plane(ci).reshape(-1, 64)
+    def make_stage(idct_precision, color_exact):
+        def stage(*coeff_planes):
+            pix = []
+            for ci, c in enumerate(comps):
+                blocks = coeff_planes[ci].reshape(-1, 64)
+                p = idct_ops.idct_blocks(
+                    blocks, qtables[ci], idct_precision, False
+                )
+                pix.append(
+                    idct_ops.blocks_to_plane(p, c.blocks_y, c.blocks_x)
+                )
+            ups = [
+                color_ops.nn_upsample(
+                    p, h, w, c.hsf, c.vsf, frame.max_hsf, frame.max_vsf
+                )
+                for p, c in zip(pix, comps)
+            ]
+            return color_ops.ycbcr_to_rgb(*ups, color_exact, Quirks.REFERENCE)
 
-        def f(b, _q=qtables[ci]):
-            return idct_ops.idct_blocks(b, _q, IdctPrecision.EXACT, False)
+        return stage
 
-        t = slope_time(f, [blocks])
-        log(f"idct_exact comp{ci} {blocks.shape}: {t*1e3:.2f} ms")
-        pix = jax.jit(f)(jnp.asarray(blocks))
-        pix_planes.append(
-            np.asarray(idct_ops.blocks_to_plane(pix, c.blocks_y, c.blocks_x))
-        )
-
-    # FLOAT32 matmul for comparison
-    blocks0 = planes.plane(0).reshape(-1, 64)
-
-    def f32f(b):
-        return idct_ops.idct_blocks(b, qtables[0], IdctPrecision.FLOAT32, False)
-
-    log(f"idct_f32 comp0: {slope_time(f32f, [blocks0])*1e3:.2f} ms")
-
-    # --- upsample + color (EXACT df32) ------------------------------------
-    def up_color(y, cb, cr):
-        ups = [
-            color_ops.nn_upsample(
-                p, h, w, c.hsf, c.vsf, frame.max_hsf, frame.max_vsf
-            )
-            for p, c in zip((y, cb, cr), comps)
-        ]
-        return color_ops.ycbcr_to_rgb(*ups, True, Quirks.REFERENCE)
-
-    t = slope_time(up_color, pix_planes)
-    log(f"upsample+color EXACT: {t*1e3:.2f} ms")
-
-    def up_color_f32(y, cb, cr):
-        ups = [
-            color_ops.nn_upsample(
-                p, h, w, c.hsf, c.vsf, frame.max_hsf, frame.max_vsf
-            )
-            for p, c in zip((y, cb, cr), comps)
-        ]
-        return color_ops.ycbcr_to_rgb(*ups, False, Quirks.REFERENCE)
-
-    t = slope_time(up_color_f32, pix_planes)
-    log(f"upsample+color f32: {t*1e3:.2f} ms")
-
-    # --- full fused stage --------------------------------------------------
-    key = decoder_mod._stage_key(
-        frame, decoder_mod.qt_by_comp_bytes(frame, qts), cfg
-    )
-    stage = decoder_mod.build_stage_raw(key)
-
-    def full(*ps):
-        return stage(*ps)[0]
-
-    t = slope_time(full, [planes.plane(ci) for ci in range(frame.ncs)])
-    log(f"full fused EXACT stage: {t*1e3:.2f} ms "
-        f"({w*h/t/1e6:.0f} MP/s)")
+    args = [planes.plane(ci) for ci in range(frame.ncs)]
+    variants = [
+        ("EXACT idct + exact color (production)", IdctPrecision.EXACT, True),
+        ("EXACT idct + f32 color", IdctPrecision.EXACT, False),
+        ("f32 idct + exact color", IdctPrecision.FLOAT32, True),
+        ("f32 idct + f32 color  ", IdctPrecision.FLOAT32, False),
+    ]
+    for name, prec, cx in variants:
+        try:
+            t = slope_time(make_stage(prec, cx), args)
+            log(f"{name}: {t*1e3:.2f} ms/img = {w*h/t/1e6:.0f} MP/s")
+        except Exception as e:
+            log(f"{name}: FAILED ({type(e).__name__}: {str(e)[:200]})")
+        jax.clear_caches()
 
 
 if __name__ == "__main__":

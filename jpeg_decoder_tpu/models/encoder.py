@@ -39,6 +39,15 @@ _SAMPLING = {
     "444": ((1, 1), (1, 1), (1, 1)),
     "422": ((2, 1), (1, 1), (1, 1)),
     "420": ((2, 2), (1, 1), (1, 1)),
+    # Exotic-but-legal factors (T.81 A.1.1 allows any h,v in 1..4). These
+    # exercise the decoder's per-component block wrap math beyond the three
+    # common shapes (oracle._block_position / native UnitLayout); Pillow
+    # cannot write them, so the in-repo writer is the corpus source.
+    "411": ((4, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+    # Mixed chroma factors: Cb at (2,1), Cr at (1,2) under a (2,2) luma —
+    # every component gets a DIFFERENT wrap width and unit count.
+    "mixed": ((2, 2), (2, 1), (1, 2)),
 }
 
 
@@ -225,12 +234,12 @@ class JpegEncoder:
             sos_comps = [(1, 0, 0)]
         else:
             sof_comps = [
-                (1, factors[0][0], factors[0][1], 0),
-                (2, 1, 1, 1),
-                (3, 1, 1, 1),
+                (ci + 1, fh, fv, 0 if ci == 0 else 1)
+                for ci, (fh, fv) in enumerate(factors)
             ]
-            sos_comps = [(1, 0, 0), (2, n_tables - 1, n_tables - 1),
-                         (3, n_tables - 1, n_tables - 1)]
+            sos_comps = [(1, 0, 0)] + [
+                (ci + 1, n_tables - 1, n_tables - 1) for ci in (1, 2)
+            ]
         parts.append(writer.sof(w, h, sof_comps))
         for s in dc_specs + ac_specs:
             parts.append(writer.dht(s))
@@ -310,9 +319,8 @@ def _assemble_progressive(self, cfg, h, w, gray, coeffs, factors, qts):
         sof_comps = [(1, 1, 1, 0)]
     else:
         sof_comps = [
-            (1, factors[0][0], factors[0][1], 0),
-            (2, 1, 1, 1),
-            (3, 1, 1, 1),
+            (ci + 1, fh, fv, 0 if ci == 0 else 1)
+            for ci, (fh, fv) in enumerate(factors)
         ]
     parts.append(writer.sof(w, h, sof_comps, marker=0xC2))
     for s in dc_specs + ac_specs:

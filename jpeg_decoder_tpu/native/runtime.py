@@ -13,6 +13,7 @@ library is missing, and models/decoder.py then uses the NumPy backend.
 from __future__ import annotations
 
 import ctypes
+import os
 import threading
 
 import numpy as np
@@ -46,7 +47,11 @@ def _load():
             return _lib
         if _lib_failed:
             return None  # don't re-run g++ per decode after one failure
-        path = build_mod.build()
+        # JDT_LIB overrides the hash-named production build — used by the
+        # sanitizer pass (tests/tools/sanitize.sh) to run the whole Python
+        # suite against an ASan/UBSan/TSan-instrumented library.
+        override = os.environ.get("JDT_LIB")
+        path = override if override else build_mod.build()
         if path is None:
             _lib_failed = True
             return None

@@ -387,7 +387,8 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
         if (rc != JDT_OK) { *err_mcu = m; return rc; }
         if (s > 15) { *err_mcu = m; return JDT_ERR_COEF_RANGE; }
         preds[ul.scomp] += extend(br.receive(s), s);
-        coef[0] = static_cast<int16_t>(preds[ul.scomp] << pp.al);
+        coef[0] = static_cast<int16_t>(
+            static_cast<uint32_t>(preds[ul.scomp]) << pp.al);
       } else if (is_dc) {
         // DC refine (G.1.2.1). The reference omits the <<al shift
         // (decode.c:1055) — that is a bug, not a parity target.
@@ -408,7 +409,8 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
               k += (en >> 22) & 0x0F;
               if (k > pp.se) { *err_mcu = m; return JDT_ERR_COEF_RANGE; }
               coef[k] = static_cast<int16_t>(
-                  static_cast<int32_t>(static_cast<int16_t>(en & 0xFFFF))
+                  static_cast<uint32_t>(
+                      static_cast<int16_t>(en & 0xFFFF))
                   << pp.al);
               br.consume((en >> 16) & 0x3F);
               k++;
@@ -441,7 +443,8 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
             k += run;
             if (k > pp.se) { *err_mcu = m; return JDT_ERR_COEF_RANGE; }
             coef[k] = static_cast<int16_t>(
-                extend(br.receive(size), size) << pp.al);
+                static_cast<uint32_t>(extend(br.receive(size), size))
+                << pp.al);
             k++;
           }
         }

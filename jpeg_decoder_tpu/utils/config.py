@@ -108,7 +108,8 @@ class EncodeConfig:
     `/root/reference/src/encode.c:12-74`, built properly here)."""
 
     quality: int = 85
-    # "444", "422", "420" chroma subsampling, or "gray".
+    # "444", "422", "420" chroma subsampling, "gray", or the exotic-but-
+    # legal factor sets "411", "440", "mixed" (see models/encoder._SAMPLING).
     subsampling: str = "420"
     # Restart interval in MCUs (0 = none). Restart markers are this engine's
     # parallelism seam, so the encoder emits them by default.
@@ -124,7 +125,9 @@ class EncodeConfig:
     def __post_init__(self) -> None:
         if not (1 <= self.quality <= 100):
             raise JpegConfigError("quality must be in [1, 100]")
-        if self.subsampling not in ("444", "422", "420", "gray"):
+        if self.subsampling not in (
+            "444", "422", "420", "gray", "411", "440", "mixed"
+        ):
             raise JpegConfigError(f"unknown subsampling {self.subsampling!r}")
         if self.huffman not in ("annex_k", "optimized"):
             raise JpegConfigError(f"unknown huffman mode {self.huffman!r}")
