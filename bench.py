@@ -157,6 +157,29 @@ def main() -> None:
         d = np.abs(dev_rgb.astype(int) - ref.rgb.astype(int))
         log(f"ERROR: device/host mismatch max={d.max()} frac={(d > 0).mean()}")
 
+    # Record the mesh-scaling artifact for this round (SCALING.json):
+    # benchmarks/scaling.py on the virtual 8-device CPU mesh — tracks the
+    # sharded code path at every mesh size (real multi-chip efficiency
+    # needs real chips; see the note the artifact embeds).
+    if not os.environ.get("JDT_BENCH_NO_SCALING"):
+        import subprocess
+
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        )
+        try:
+            subprocess.run(
+                [sys.executable, "benchmarks/scaling.py",
+                 "--out", "SCALING.json"],
+                cwd=Path(__file__).resolve().parent,
+                env=env, timeout=600, capture_output=True,
+            )
+            log("scaling artifact: SCALING.json written")
+        except Exception as e:  # never let the artifact sink the bench
+            log(f"scaling artifact skipped: {e}")
+
     rate = px / max(t_host_m, t_dev_m)
     result = {
         "metric": "decode_4k420_q85_throughput",

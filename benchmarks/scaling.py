@@ -41,6 +41,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--hw", type=int, default=256, help="image side length")
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="also write the per-size records as a JSON file")
     args = ap.parse_args()
 
     from jpeg_decoder_tpu.models import encoder
@@ -60,6 +62,7 @@ def main() -> int:
     cfg = DecodeConfig()
 
     base_rate = base_n = None
+    records = []
     for n in [int(s) for s in args.sizes.split(",")]:
         if n > len(jax.devices()):
             print(f"# skipping mesh size {n}: only {len(jax.devices())} devices",
@@ -77,14 +80,25 @@ def main() -> int:
         rate = px / t
         if base_rate is None:
             base_rate, base_n = rate, n
-        print(json.dumps({
+        rec = {
             "mesh_devices": n,
             "frames_per_s": round(args.batch / t, 2),
             "mp_per_s": round(rate / 1e6, 2),
             "scaling_efficiency": round(
                 (rate / n) / (base_rate / base_n), 3
             ),
-        }))
+        }
+        records.append(rec)
+        print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "platform": jax.devices()[0].platform,
+                "note": ("virtual CPU mesh: all devices share the host "
+                         "cores, so efficiency here measures sharding "
+                         "overhead, not real multi-chip scaling"),
+                "sizes": records,
+            }, f, indent=1)
     return 0
 
 

@@ -251,6 +251,12 @@ def _entropy_decode(
         with metrics.timer("entropy_device"):
             return entropy_device.entropy_decode(structure, cfg, planes)
 
+    if backend == EntropyBackend.PALLAS:
+        from ..ops import entropy_pallas
+
+        with metrics.timer("entropy_pallas"):
+            return entropy_pallas.entropy_decode(structure, cfg, planes)
+
     from ..core.driver import run_scans
 
     if planes is None:

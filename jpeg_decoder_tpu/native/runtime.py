@@ -320,6 +320,76 @@ def _try_speculative(
     raise JpegEntropyError(f"speculative decode failed: {_STATUS.get(rc, rc)}")
 
 
+def decode_scan_native_raw(
+    structure: JpegStructure,
+    scan: Scan,
+    plane_arrays,
+    cfg: DecodeConfig,
+    segment_bounds,
+    total_mcus: int,
+    params: np.ndarray,
+    luts,
+) -> None:
+    """Low-level scan decode into caller-provided [by, bx, 64] int16 arrays
+    with explicit segment bounds / MCU count / unit params — the building
+    block for stripe-local entropy decode (parallel/stripes.py), where each
+    stripe's segment group decodes into a stripe-local buffer (segment MCU
+    indices are relative to the given bounds by construction)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    frame = structure.frame
+    n_segs = len(segment_bounds)
+    bounds = np.array(
+        [b for se in segment_bounds for b in se], dtype=np.int64
+    )
+    data = np.ascontiguousarray(structure.data)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lut12s = (u16p * len(luts))(
+        *[lut.lut12c.ctypes.data_as(u16p) for lut in luts]
+    )
+    lut16s = (u16p * len(luts))(
+        *[lut.lut16c.ctypes.data_as(u16p) for lut in luts]
+    )
+    vluts = (i32p * len(luts))(
+        *[lut.vlut.ctypes.data_as(i32p) for lut in luts]
+    )
+    pvluts = (i32p * len(luts))(
+        *[lut.pvlut.ctypes.data_as(i32p) for lut in luts]
+    )
+    params = np.ascontiguousarray(params, dtype=np.int32)
+    plane_ptrs = (i16p * frame.ncs)(
+        *[p.ctypes.data_as(i16p) for p in plane_arrays]
+    )
+    err = np.full(2, -1, dtype=np.int64)
+    rc = lib.jdt_decode_sequential(
+        data.ctypes.data_as(u8p),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_segs,
+        total_mcus,
+        scan.restart_interval,
+        params.ctypes.data_as(i32p),
+        params.shape[0],
+        lut12s,
+        lut16s,
+        vluts,
+        pvluts,
+        len(luts),
+        plane_ptrs,
+        cfg.num_threads,
+        err.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise JpegEntropyError(
+            f"native entropy decode failed: {_STATUS.get(rc, rc)}"
+            f" (segment {err[0]}, mcu {err[1]})",
+            mcu=int(err[1]),
+        )
+
+
 def decode_scan_native(
     structure: JpegStructure,
     scan: Scan,

@@ -1,0 +1,626 @@
+"""Pallas TPU entropy decode: restart-segment lanes in hardware lockstep.
+
+The throughput-grade successor to ops/entropy_device.py's XLA while_loop
+backend (which is a correctness testbed at ~1.7 MP/s): one Mosaic kernel
+decodes up to 128 restart segments in SIMD lockstep, with every
+data-dependent lookup mapped onto the two dynamic-gather forms the TPU
+actually supports (measured in benchmarks/pallas_gather_probe*.py):
+
+  * lane crossbar   — [128, 128] take_along_axis(axis=1): each lane (row)
+    fetches its next bitstream word from a VMEM window, ~80 ns;
+  * sublane shuffle — [8, 128] take_along_axis(axis=0): per-lane row pick
+    within one vreg, composing a 1024-entry LUT with one crossbar.
+
+Everything else is branch-free vector math:
+
+  * Huffman code length via the canonical compare ladder (the reference's
+    <=16-step walk, /root/reference/src/decode.c:674-681) as a BALANCED
+    TREE of 16 compares against SMEM scalar thresholds — legal because the
+    lanes are lockstep at the same (MCU, unit) position, so the table is
+    uniform across lanes at every step;
+  * symbol resolution: canonical index = left-aligned code + per-length
+    base, then the composed 1024-entry gather into the symbols table;
+  * EXTEND (F.2.2.1) and the run/size bookkeeping as masked vector ops;
+  * coefficient store: one-hot accumulate into a [64, 128] block register,
+    written to the grid-streamed output at each DU round — the output
+    index is STATIC per grid step because the lockstep round IS the DU
+    lattice position (scatter-free by construction);
+  * bitstream refill: per-lane window rebase DMAs from HBM, issued only
+    for lanes below the worst-case-DU guard (unrolled with scalar
+    predication; vector->scalar handoff goes through a VMEM scratch ref).
+
+Decodes baseline/extended sequential scans (any sampling); progressive
+falls back to the host backends. Truncation and invalid codes flag the
+lane; the caller raises, mirroring the other backends' error contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.driver import run_scans
+from ..core.types import COEF_DTYPE, CoefficientPlanes, JpegStructure
+from ..core.huffman import build_canonical
+from ..io import bitstream as bsio
+from ..io.markers import Encoding
+from ..native.runtime import scan_layout, _check_segments
+from ..utils.config import DecodeConfig
+from ..utils.errors import (
+    JpegEntropyError,
+    JpegTruncatedError,
+    JpegUnsupportedError,
+)
+
+I32 = jnp.int32
+U32 = jnp.uint32
+LANES = 128
+WIN = 128          # per-lane window capacity, 32-bit words
+GUARD = 64         # rebase when fewer words remain (worst legal DU ~61)
+MAX_SYMS = 70      # AC-loop hard cap per DU (64 legal symbols + margin)
+
+
+# ---------------------------------------------------------------------------
+# Host-side table builders
+# ---------------------------------------------------------------------------
+
+
+def _ladder_tables(spec):
+    """Canonical decode as (thresholds[16], base[16], symbols[1024]).
+
+    For a left-aligned 16-bit window c: len = 1 + sum_j(c >= thr[j]), and
+    the symbol's index into `symbols` is (c >> (16 - len)) + base[len-1].
+    thr[j] is the exclusive upper bound of all codes of length <= j+1,
+    left-aligned; lengths with no codes inherit the previous bound (their
+    comparison then never increments past them). Invalid prefixes resolve
+    to index 1023, whose symbol slot is the sentinel 0x1FF.
+    """
+    tab = build_canonical(spec)
+    counts = np.asarray(spec.counts, dtype=np.int64)
+    symbols = np.asarray(spec.symbols, dtype=np.int64)
+    thr = np.zeros(16, dtype=np.int64)
+    base = np.zeros(16, dtype=np.int64)
+    sym1024 = np.full(1024, 0x1FF, dtype=np.int32)  # invalid sentinel
+    code = 0
+    ptr = 0
+    bound = 0
+    for ln in range(1, 17):
+        n = int(counts[ln - 1])
+        # codes of this length occupy [code, code + n)
+        base[ln - 1] = ptr - code
+        if n:
+            sym1024[ptr : ptr + n] = symbols[ptr : ptr + n]
+        code += n
+        bound = code << (16 - ln)
+        thr[ln - 1] = bound
+        code <<= 1
+        ptr += n
+    # Positions thr[j] with no codes keep the running bound (monotone).
+    for j in range(1, 16):
+        if thr[j] < thr[j - 1]:
+            thr[j] = thr[j - 1]
+    del tab
+    return (
+        thr.astype(np.int32),
+        base.astype(np.int32),
+        sym1024,
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _ladder_cached(counts_b: bytes, symbols_b: bytes):
+    from ..core.types import HuffTableSpec
+
+    spec = HuffTableSpec(
+        table_class=0, table_id=0,
+        counts=np.frombuffer(counts_b, dtype=np.uint8),
+        symbols=np.frombuffer(symbols_b, dtype=np.uint8),
+    )
+    return _ladder_tables(spec)
+
+
+def _ladder_for_spec(spec):
+    return _ladder_cached(
+        np.asarray(spec.counts, np.uint8).tobytes(),
+        np.asarray(spec.symbols, np.uint8).tobytes(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _merge_fetch(bbhi, bblo, nbits, wpos, win, winbase):
+    """Fetch one window word into (bbhi, bblo) for lanes with nbits <= 32.
+
+    win: [LANES, WIN] uint32, lane = row. Returns updated state."""
+    need = nbits <= 32
+    rel = jnp.clip(wpos - winbase, 0, WIN - 1)
+    idx = jnp.broadcast_to(rel.reshape(LANES, 1), (LANES, WIN))
+    got = jnp.take_along_axis(win, idx, axis=1)[:, :1].reshape(1, LANES)
+    w = jnp.where(need, got, U32(0))
+    nb = nbits.astype(U32)
+    # insert w at bit offset nbits (MSB-aligned 64-bit window in two u32)
+    hi_ins = jnp.where(nbits < 32, w >> nb, U32(0))
+    lo_sh = (U32(32) - nb) & U32(31)
+    lo_ins = jnp.where(
+        nbits > 0,
+        jnp.where(nbits < 32, w << lo_sh, jnp.where(nbits == 32, w, U32(0))),
+        U32(0),
+    )
+    # nbits == 0: whole word goes to hi
+    hi_ins = jnp.where(nbits == 0, w, hi_ins)
+    lo_ins = jnp.where(nbits == 0, U32(0), lo_ins)
+    bbhi = bbhi | hi_ins
+    bblo = bblo | lo_ins
+    nbits = jnp.where(need, nbits + 32, nbits)
+    wpos = jnp.where(need, wpos + 1, wpos)
+    return bbhi, bblo, nbits, wpos
+
+
+def _consume(bbhi, bblo, nbits, n):
+    """Advance the 64-bit window by per-lane n (0..31) bits."""
+    nu = n.astype(U32)
+    sh = (U32(32) - nu) & U32(31)
+    hi = jnp.where(
+        n > 0, (bbhi << nu) | jnp.where(n < 32, bblo >> sh, bblo), bbhi
+    )
+    lo = jnp.where(n > 0, bblo << nu, bblo)
+    return hi, lo, nbits - n
+
+
+def _gather1024(tab, idx):
+    """Composed 1024-entry lookup: tab [8, 128] int32, idx [1, LANES] in
+    [0, 1024) -> [1, LANES]. crossbar by low 7 bits, sublane pick by top 3."""
+    lo = jnp.broadcast_to(idx & 127, (8, LANES))
+    rows = jnp.take_along_axis(tab, lo, axis=1)
+    hi = jnp.broadcast_to((idx >> 7) & 7, (8, LANES))
+    return jnp.take_along_axis(rows, hi, axis=0)[:1]
+
+
+def _decode_sym(bbhi, thr_scalars, basevec, symtab):
+    """One canonical Huffman decode from the 16-bit peek.
+
+    thr_scalars: python list of 16 scalar (traced) thresholds.
+    basevec: [8, 128] int32 whose row 0 lanes 1..16 hold base[len].
+    symtab: [8, 128] int32 composed 1024-entry symbols table.
+    Returns (sym [1,LANES], ln [1,LANES]); invalid prefixes give sym 0x1FF.
+    """
+    code16 = (bbhi >> 16).astype(I32)
+    # balanced tree of the 16 compares
+    cs = [(code16 >= t).astype(I32) for t in thr_scalars]
+    while len(cs) > 1:
+        cs = [a + b for a, b in zip(cs[0::2], cs[1::2])]
+    ln = jnp.minimum(1 + cs[0], 16)
+    base = _gather1024(basevec, ln)  # base[len] via lanes 1..16
+    idx = (code16 >> (16 - ln).astype(U32)) + base
+    bad = (idx < 0) | (idx > 1023)
+    idx = jnp.clip(idx, 0, 1023)
+    sym = _gather1024(symtab, idx)
+    sym = jnp.where(bad, 0x1FF, sym)
+    return sym, ln
+
+
+def _extend(v, size):
+    """Spec F.2.2.1 EXTEND, vectorized (size 0 -> 0)."""
+    half = jnp.where(size > 0, 1 << jnp.maximum(size - 1, 0), 0)
+    return jnp.where(
+        size > 0, jnp.where(v < half, v - 2 * half + 1, v), 0
+    )
+
+
+def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
+    """Compile-time-static kernel builder.
+
+    R: grid size (max mcus per lane * P). sched_tuple: per-unit
+    (dc_lut, ac_lut, scomp) static python tuples of length P.
+    """
+    dc_of_u, ac_of_u, sci_of_u = sched_tuple
+
+    def kernel(thr_ref, sched_ref, nwords_ref, mcu_count_ref, base_ref,
+               sym_ref, streams_ref, out_ref, state_ref,
+               win_ref, stage_ref, bbhi_ref, bblo_ref, nbits_ref, wpos_ref,
+               winbase_ref, preds_ref, bad_ref, acc_ref, sem_ref):
+        r = pl.program_id(0)
+
+        @pl.when(r == 0)
+        def _init():
+            bbhi_ref[...] = jnp.zeros((1, LANES), U32)
+            bblo_ref[...] = jnp.zeros((1, LANES), U32)
+            nbits_ref[...] = jnp.zeros((1, LANES), I32)
+            wpos_ref[...] = jnp.zeros((1, LANES), I32)
+            winbase_ref[...] = jnp.full((1, LANES), -WIN, I32)
+            preds_ref[...] = jnp.zeros((8, LANES), I32)
+            bad_ref[...] = jnp.zeros((1, LANES), I32)
+            acc_ref[...] = jnp.zeros((64, LANES), I32)
+
+        # --- window rebase: lanes whose window runs low get a fresh DMA --
+        wpos_v = wpos_ref[...]
+        winbase_v = winbase_ref[...]
+        lane_needs = (wpos_v - winbase_v) > (WIN - GUARD)
+        any_needs = jnp.any(lane_needs)
+        # New base per lane, 64-word quantized (the 1-D stream slice offset
+        # then satisfies Mosaic's tiling alignment) and clamped so the
+        # 128-word read stays inside the zero-word tail padding. After a
+        # rebase, (wpos - newbase) <= 63, so >= 65 words remain — above the
+        # worst-legal-DU GUARD of 64.
+        newbase = jnp.minimum(wpos_v & ~63, (W_words - WIN) & ~63)
+        winbase_ref[...] = jnp.where(lane_needs, newbase, winbase_v)
+        # scalar handoff: predicates and offsets via VMEM scratch reads
+        state_ref[2, :] = jnp.where(lane_needs, 1, 0)[0]
+        state_ref[3, :] = newbase[0]
+
+        @pl.when(any_needs)
+        def _rebase():
+            # Per-lane refill through 1-D views: 2-D tiled memrefs reject
+            # single-row DMA slices, so the streams live flat in HBM and a
+            # flat VMEM staging strip receives each lane's 128 words; the
+            # 2-D crossbar window is then updated with static row stores.
+            for lane in range(LANES):
+                flag = state_ref[2, lane]
+
+                @pl.when(flag == 1)
+                def _issue(lane=lane):
+                    off = state_ref[3, lane]
+                    pltpu.make_async_copy(
+                        streams_ref.at[pl.ds(lane * W_words + off, WIN)],
+                        stage_ref.at[pl.ds(lane * WIN, WIN)],
+                        sem_ref.at[lane % 16],
+                    ).start()
+
+            for lane in range(LANES):
+                flag = state_ref[2, lane]
+
+                @pl.when(flag == 1)
+                def _wait(lane=lane):
+                    off = state_ref[3, lane]
+                    pltpu.make_async_copy(
+                        streams_ref.at[pl.ds(lane * W_words + off, WIN)],
+                        stage_ref.at[pl.ds(lane * WIN, WIN)],
+                        sem_ref.at[lane % 16],
+                    ).wait()
+
+            for lane in range(LANES):
+                flag = state_ref[2, lane]
+
+                @pl.when(flag == 1)
+                def _copy(lane=lane):
+                    win_ref[lane, :] = stage_ref[
+                        pl.ds(lane * WIN, WIN)
+                    ].reshape(WIN)
+
+        # --- per-round schedule (r % P selects the unit; SMEM scalars) ---
+        u = r % P
+        dc_lut = sched_ref[0, u]
+        ac_lut = sched_ref[1, u]
+        sci = sched_ref[2, u]
+        m = r // P
+        active = (m < mcu_count_ref[0, :]).reshape(1, LANES)
+
+        win = win_ref[...]
+        winbase_v = winbase_ref[...]
+        nword_v = nwords_ref[...]
+
+        # SMEM threshold scalars for the selected tables. thr_ref is
+        # [n_luts, 16]; lut ids are traced scalars -> dynamic SMEM reads.
+        dc_thr = [thr_ref[dc_lut, j] for j in range(16)]
+        ac_thr = [thr_ref[ac_lut, j] for j in range(16)]
+        dc_base = base_ref[pl.ds(dc_lut, 1)][0]
+        ac_base = base_ref[pl.ds(ac_lut, 1)][0]
+        dc_sym = sym_ref[pl.ds(dc_lut, 1)][0]
+        ac_sym = sym_ref[pl.ds(ac_lut, 1)][0]
+
+        bbhi = bbhi_ref[...]
+        bblo = bblo_ref[...]
+        nbits = nbits_ref[...]
+        wpos = wpos_ref[...]
+        bad = bad_ref[...]
+
+        # establish the >= 33-bit invariant (two fetches cover nbits == 0)
+        bbhi, bblo, nbits, wpos = _merge_fetch(
+            bbhi, bblo, nbits, wpos, win, winbase_v)
+        bbhi, bblo, nbits, wpos = _merge_fetch(
+            bbhi, bblo, nbits, wpos, win, winbase_v)
+
+        # --- DC symbol ---------------------------------------------------
+        sym, ln = _decode_sym(bbhi, dc_thr, dc_base, dc_sym)
+        bad = bad | jnp.where(active & (sym > 15), 1, 0)
+        size = jnp.clip(jnp.where(sym > 15, 0, sym), 0, 15)
+        bbhi, bblo, nbits = _consume(
+            bbhi, bblo, nbits, jnp.where(active, ln, 0))
+        v = jnp.where(
+            size > 0, (bbhi >> (U32(32) - size.astype(U32))).astype(I32), 0
+        )
+        bbhi, bblo, nbits = _consume(
+            bbhi, bblo, nbits, jnp.where(active, size, 0))
+        bbhi, bblo, nbits, wpos = _merge_fetch(
+            bbhi, bblo, nbits, wpos, win, winbase_v)
+        diff = _extend(v, size)
+        pred_row = jnp.take_along_axis(
+            preds_ref[...], jnp.broadcast_to(sci.reshape(1, 1),
+                                             (8, LANES)), axis=0
+        )[:1]
+        pred_new = pred_row + jnp.where(active, diff, 0)
+        # store back the selected predictor row
+        rowsel = (jax.lax.broadcasted_iota(I32, (8, LANES), 0) == sci)
+        preds_ref[...] = jnp.where(
+            rowsel, jnp.broadcast_to(pred_new, (8, LANES)), preds_ref[...]
+        )
+        acc_ref[0, :] = jnp.where(active, pred_new, 0)[0]
+
+        # --- AC loop -----------------------------------------------------
+        def ac_body(st):
+            bbhi, bblo, nbits, wpos, ci, running, bad, it = st
+            sym, ln = _decode_sym(bbhi, ac_thr, ac_base, ac_sym)
+            act = running & active
+            bad = bad | jnp.where(act & (sym == 0x1FF), 1, 0)
+            sym = jnp.where(sym == 0x1FF, 0, sym)  # treat as EOB once bad
+            size = sym & 15
+            run = sym >> 4
+            is_eob = sym == 0
+            is_zrl = sym == 0xF0
+            bbhi, bblo, nbits = _consume(
+                bbhi, bblo, nbits, jnp.where(act, ln, 0))
+            ci_t = ci + run
+            write = act & (~is_eob) & (~is_zrl) & (size > 0)
+            oob = write & (ci_t > 63)
+            bad = bad | jnp.where(oob, 1, 0)
+            write = write & (ci_t <= 63)
+            v = jnp.where(
+                size > 0,
+                (bbhi >> (U32(32) - size.astype(U32))).astype(I32), 0,
+            )
+            bbhi, bblo, nbits = _consume(
+                bbhi, bblo, nbits, jnp.where(act, size, 0))
+            bbhi, bblo, nbits, wpos = _merge_fetch(
+                bbhi, bblo, nbits, wpos, win, winbase_v)
+            val = _extend(v, size)
+            onehot = (
+                jax.lax.broadcasted_iota(I32, (64, LANES), 0)
+                == jnp.broadcast_to(ci_t, (64, LANES))
+            )
+            acc_ref[...] = acc_ref[...] + jnp.where(
+                onehot & jnp.broadcast_to(write, (64, LANES)),
+                jnp.broadcast_to(val, (64, LANES)), 0,
+            )
+            ci = jnp.where(
+                act,
+                jnp.where(is_zrl, ci + 16, ci_t + 1),
+                ci,
+            )
+            running = running & (~is_eob) & (ci <= 63) & (~(bad > 0))
+            return bbhi, bblo, nbits, wpos, ci, running, bad, it + 1
+
+        def ac_cond(st):
+            _bbhi, _bblo, _nbits, _wpos, _ci, running, _bad, it = st
+            return jnp.any(running & active) & (it < MAX_SYMS)
+
+        st = (bbhi, bblo, nbits, wpos,
+              jnp.ones((1, LANES), I32),           # ci starts at 1
+              active, bad, jnp.zeros((), I32))
+        bbhi, bblo, nbits, wpos, _ci, _run, bad, _it = lax.while_loop(
+            ac_cond, ac_body, st)
+
+        # --- flush the block and persist state ---------------------------
+        out_ref[0, :, :] = acc_ref[...].astype(jnp.int16)
+        acc_ref[...] = jnp.zeros((64, LANES), I32)
+        bbhi_ref[...] = bbhi
+        bblo_ref[...] = bblo
+        nbits_ref[...] = nbits
+        wpos_ref[...] = wpos
+        bad_ref[...] = bad
+        # truncation bookkeeping: final consumed-bit position per lane
+        state_ref[0, :] = (wpos * 32 - nbits)[0]
+        state_ref[1, :] = bad[0]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_decode_fn(R, P, n_luts, W_words, sched_tuple, interpret):
+    kernel = _build_pallas_decode(R, P, n_luts, W_words, sched_tuple)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # thr [n_luts, 16]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # sched [3, P]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # nwords [1, LANES]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # mcu_count [1, LANES]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # base [n_luts, 8, 128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # sym [n_luts, 8, 128]
+            pl.BlockSpec(memory_space=pltpu.HBM),     # streams [LANES, W]
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 64, LANES), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),    # coeffs per round
+            pl.BlockSpec((8, LANES), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),    # final state
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LANES, WIN), U32),   # win
+            pltpu.VMEM((LANES * WIN,), U32),  # flat DMA staging strip
+            pltpu.VMEM((1, LANES), U32),     # bbhi
+            pltpu.VMEM((1, LANES), U32),     # bblo
+            pltpu.VMEM((1, LANES), I32),     # nbits
+            pltpu.VMEM((1, LANES), I32),     # wpos
+            pltpu.VMEM((1, LANES), I32),     # winbase
+            pltpu.VMEM((8, LANES), I32),     # preds
+            pltpu.VMEM((1, LANES), I32),     # bad
+            pltpu.VMEM((64, LANES), I32),    # acc
+            pltpu.SemaphoreType.DMA((16,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 64, LANES), jnp.int16),
+            jax.ShapeDtypeStruct((8, LANES), I32),
+        ],
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _pack_group(structure, seg_bounds):
+    """Unstuff a group of <= LANES segments into [LANES, W_words] uint32
+    big-endian words (+WIN zero-word tail) and per-lane word counts."""
+    segs = []
+    for s, e in seg_bounds:
+        unstuffed, _ = bsio.unstuff(structure.data, s, e)
+        segs.append(unstuffed)
+    maxlen = max(x.shape[0] for x in segs)
+    W_words = -(-maxlen // 4) + WIN
+    arr = np.zeros((LANES, W_words * 4), dtype=np.uint8)
+    nbytes = np.zeros(LANES, dtype=np.int64)
+    for i, x in enumerate(segs):
+        arr[i, : x.shape[0]] = x
+        nbytes[i] = x.shape[0]
+    words = (
+        arr.reshape(LANES, W_words, 4).astype(np.uint32)
+    )
+    words = (
+        (words[:, :, 0] << 24) | (words[:, :, 1] << 16)
+        | (words[:, :, 2] << 8) | words[:, :, 3]
+    )
+    return words, nbytes, W_words
+
+
+def decode_scan_pallas(structure, scan, planes: CoefficientPlanes, cfg,
+                       interpret: bool = False):
+    frame = structure.frame
+    total_mcus, params, luts_flat = scan_layout(structure, scan)
+    n_segs = _check_segments(scan, total_mcus)
+    ri = scan.restart_interval or total_mcus
+    P = params.shape[0]
+
+    # ladder tables per distinct (class, id) spec used by this scan
+    specs = []
+    spec_index = {}
+    sched_dc, sched_ac, sched_sci = [], [], []
+    for u in range(P):
+        sc = scan.header.components[int(params[u, 1])]
+        for cls, tid, tables in (
+            (0, sc.dc, scan.dc_tables), (1, sc.ac, scan.ac_tables),
+        ):
+            key = (cls, tid)
+            if key not in spec_index:
+                spec_index[key] = len(specs)
+                specs.append(tables[tid])
+        sched_dc.append(spec_index[(0, sc.dc)])
+        sched_ac.append(spec_index[(1, sc.ac)])
+        sched_sci.append(int(params[u, 1]))
+
+    thr = np.zeros((len(specs), 16), dtype=np.int32)
+    basetabs = np.zeros((len(specs), 8, 128), dtype=np.int32)
+    symtabs = np.zeros((len(specs), 8, 128), dtype=np.int32)
+    for i, spec in enumerate(specs):
+        t, b, s1024 = _ladder_for_spec(spec)
+        thr[i] = t
+        # base[len] lives at composed-LUT index len (1..16)
+        basetabs[i].reshape(-1)[1:17] = b
+        symtabs[i] = s1024.reshape(8, 128)
+
+    bounds = list(scan.span.segment_bounds())
+
+    for g0 in range(0, n_segs, LANES):
+        group = bounds[g0 : g0 + LANES]
+        words, nbytes, W_words = _pack_group(structure, group)
+        mcu_count = np.zeros(LANES, dtype=np.int32)
+        for i in range(len(group)):
+            s_abs = g0 + i
+            mcu_count[i] = min(ri, total_mcus - s_abs * ri)
+        R = int(mcu_count.max()) * P
+        fn = _build_decode_fn(
+            R, P, len(specs), W_words,
+            (tuple(sched_dc), tuple(sched_ac), tuple(sched_sci)),
+            interpret,
+        )
+        sched_arr = np.asarray(
+            [sched_dc, sched_ac, sched_sci], dtype=np.int32
+        )
+        coeffs, state = fn(
+            jnp.asarray(thr),
+            jnp.asarray(sched_arr),
+            jnp.asarray((nbytes // 4).astype(np.int32)).reshape(1, LANES),
+            jnp.asarray(mcu_count).reshape(1, LANES),
+            jnp.asarray(basetabs),
+            jnp.asarray(symtabs),
+            jnp.asarray(words.reshape(-1)),
+        )
+        state = np.asarray(jax.device_get(state))
+        bad = state[1]
+        if bad[: len(group)].any():
+            raise JpegEntropyError(
+                "pallas entropy decode hit an invalid Huffman code"
+            )
+        # truncation: same 7-alignment-bit rule as every other backend
+        bitpos = state[0].astype(np.int64)
+        real_bits = 8 * nbytes
+        # the kernel's wpos over-fetches up to 64 look-ahead bits; consumed
+        # position = wpos*32 - nbits already accounts for that.
+        if (bitpos[: len(group)] > real_bits[: len(group)] + 7).any():
+            raise JpegTruncatedError(
+                "entropy data truncated (pallas decode consumed fabricated"
+                " bits)"
+            )
+        coeffs = np.asarray(jax.device_get(coeffs))  # [R, 64, LANES] int16
+
+        # host scatter into planes (index math mirrors UnitLayout)
+        for i in range(len(group)):
+            cnt = int(mcu_count[i])
+            s_abs = g0 + i
+            for u in range(P):
+                pl_i, sci_u, _dc, _ac, h, v, j, k, wrap, bw, bh = [
+                    int(x) for x in params[u]
+                ]
+                mlocal = np.arange(cnt, dtype=np.int64)
+                mglobal = s_abs * ri + mlocal
+                base = mglobal * h + k
+                bx = base % wrap
+                by = (base // wrap) * v + j
+                ok = (by < bh) & (bx < bw)
+                rounds = mlocal * P + u
+                vals = coeffs[rounds, :, i]  # [cnt, 64]
+                plane = planes.plane(pl_i)
+                plane[by[ok], bx[ok], :] = vals[ok]
+
+
+def entropy_decode(
+    structure: JpegStructure,
+    cfg: DecodeConfig,
+    planes: CoefficientPlanes | None = None,
+    interpret: bool = False,
+):
+    """All scans -> (CoefficientPlanes, qtid -> table), decoded by the
+    Pallas lockstep kernel. Sequential scans only."""
+    frame = structure.frame
+    if frame.process == Encoding.PROGRESSIVE_DCT:
+        raise JpegUnsupportedError(
+            "pallas entropy backend does not decode progressive scans"
+        )
+    # Off-TPU (CPU test meshes) the Mosaic kernel cannot compile; the
+    # interpreter preserves exact semantics for the conformance suite.
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+    if planes is None:
+        planes = CoefficientPlanes(frame)
+    qts = run_scans(
+        structure, planes,
+        lambda s, scan, p: decode_scan_pallas(s, scan, p, cfg, interpret),
+    )
+    return planes, qts

@@ -13,6 +13,19 @@ via jax.shard_map. Cross-stripe communication:
     exchanged over the stripe axis with lax.ppermute (ICI neighbor traffic
     on real hardware).
 
+Arbitrary heights: when mcus_y is not divisible by the stripe count, the
+block rows are PADDED to the next multiple with copies of the last real
+block row. Replication (not zeros) keeps both upsampling rules exact at the
+real bottom edge — the fancy rule's edge replication (down == mid) falls
+out of the copied row, and NN sources for real output rows stay untouched;
+padded output rows are cropped after the gather.
+
+The host entropy stage can also run stripe-parallel: when the restart
+interval covers whole MCU rows (the common DRI layout), each stripe's
+segment group decodes independently into a stripe-local buffer — segment
+MCU indices are stripe-relative by construction, so the native runtime
+writes stripe-local coordinates with only a patched plane height.
+
 Grayscale stripe mode uses the CORRECT addressing path (the REFERENCE
 width-stride shear quirk, colour_conversion.c:20, is a global flat gather
 and inherently non-local; whole-image mode replicates it).
@@ -20,6 +33,7 @@ and inherently non-local; whole-image mode replicates it).
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import functools
 
 import numpy as np
@@ -29,12 +43,12 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.numerics import _nn_index_f32
+from ..core.types import COEF_DTYPE
 from ..io.parser import parse
 from ..models import decoder as decoder_mod
 from ..ops import color as color_ops
 from ..ops import idct as idct_ops
 from ..utils.config import DecodeConfig, IdctPrecision
-from ..utils.errors import JpegFormatError
 from . import mesh as mesh_mod
 
 F32 = jnp.float32
@@ -65,16 +79,21 @@ def _fancy_upsample_v2x_striped(xf, axis_name: str):
     return jnp.stack([even, odd], axis=1).reshape(-1, xf.shape[1])
 
 
+def _padded_mcus_y(mcus_y: int, n_stripes: int) -> int:
+    return -(-mcus_y // n_stripes) * n_stripes
+
+
 @functools.lru_cache(maxsize=64)
 def make_shard_fn(key, n_stripes: int):
     """Build the per-stripe device function (the body shard_map maps).
 
     key is decoder._stage_key's tuple. The returned fn takes per-component
-    coefficient STRIPES [by_i/n, bx_i, 64] and returns that stripe's RGB
-    rows [padH/n, W, 3]; it must run under a shard_map binding
-    mesh_mod.STRIPE_AXIS (axis_index/ppermute are used inside). Reused by
-    decode_striped here and by the combined DP x SP step in
-    __graft_entry__.py.
+    coefficient STRIPES [by_pad_i/n, bx_i, 64] (block rows padded to a
+    multiple of n_stripes with replicated last-row content — see module
+    docstring) and returns that stripe's RGB rows [padH/n, W, 3]; it must
+    run under a shard_map binding mesh_mod.STRIPE_AXIS (axis_index/ppermute
+    are used inside). Reused by decode_striped here and by the combined
+    DP x SP step in __graft_entry__.py.
     """
     frame, qt_by_comp, precision, quirks, upsample = key
     comps = frame.components
@@ -83,16 +102,14 @@ def make_shard_fn(key, n_stripes: int):
     qtables = [np.frombuffer(q, dtype=np.uint16).copy() for q in qt_by_comp]
     h, w = frame.height, frame.width
     vmax, hmax = frame.max_vsf, frame.max_hsf
-    pad_h = frame.mcus_y * 8 * vmax
-    if frame.mcus_y % n_stripes:
-        raise JpegFormatError(
-            f"stripe mode needs mcus_y ({frame.mcus_y}) divisible by"
-            f" {n_stripes} stripes"
-        )
+    mcus_y_pad = _padded_mcus_y(frame.mcus_y, n_stripes)
+    pad_h = mcus_y_pad * 8 * vmax
     hs = pad_h // n_stripes  # output rows per stripe
+    mcu_rows_per_stripe = mcus_y_pad // n_stripes
 
     # Global NN index arrays (the reference's f32-ratio rule), extended over
-    # the padded height so every stripe slices the same table.
+    # the padded height so every stripe slices the same table. Sources past
+    # the real plane land in replicated padding rows — identical content.
     rows_idx = [
         np.asarray(
             _nn_index_f32(pad_h, np.float32(c.vsf) / np.float32(vmax)),
@@ -114,7 +131,7 @@ def make_shard_fn(key, n_stripes: int):
         for ci, c in enumerate(comps):
             blocks = coeff_stripes[ci].reshape(-1, 64)
             pix = idct_ops.idct_blocks(blocks, qtables[ci], precision, bits12)
-            lby = c.blocks_y // n_stripes
+            lby = mcu_rows_per_stripe * c.vsf
             plane = idct_ops.blocks_to_plane(pix, lby, c.blocks_x)
             local_rows = lby * 8
 
@@ -154,9 +171,9 @@ def make_shard_fn(key, n_stripes: int):
 
 @functools.lru_cache(maxsize=64)
 def build_striped_stage(key, mesh: Mesh, n_stripes: int):
-    """jit(shard_map) program: coefficient planes (sharded on block rows
-    over "stripe") -> [padH, W, 3] uint8 RGB (sharded on rows; crop to
-    frame.height outside)."""
+    """jit(shard_map) program: coefficient planes (block rows padded to a
+    multiple of n_stripes, sharded over "stripe") -> [padH, W, 3] uint8 RGB
+    (sharded on rows; crop to frame.height outside)."""
     frame = key[0]
     shard_fn = make_shard_fn(key, n_stripes)
     spec = P(mesh_mod.STRIPE_AXIS)
@@ -169,6 +186,102 @@ def build_striped_stage(key, mesh: Mesh, n_stripes: int):
     return jax.jit(mapped)
 
 
+def _pad_plane_rows(plane: np.ndarray, by_pad: int) -> np.ndarray:
+    """Pad [by, bx, 64] to [by_pad, bx, 64] with copies of the last block
+    row (edge-replication semantics; see module docstring)."""
+    by = plane.shape[0]
+    if by == by_pad:
+        return plane
+    tail = np.repeat(plane[-1:], by_pad - by, axis=0)
+    return np.concatenate([plane, tail], axis=0)
+
+
+def entropy_decode_striped(
+    structure,
+    cfg: DecodeConfig,
+    n_stripes: int,
+):
+    """Stripe-parallel host entropy decode: each stripe's restart-segment
+    group decodes concurrently into a stripe-local buffer (native runtime;
+    segment MCU indices are stripe-relative by construction).
+
+    Returns (stripe_planes, qts) where stripe_planes[k][ci] is stripe k's
+    [lby, bx, 64] int16 block rows — already padded/replicated so that
+    stacking them yields the padded plane — or None when the stream shape
+    doesn't support striped entropy (caller falls back to whole-image).
+    """
+    from ..native import runtime as nr
+
+    frame = structure.frame
+    if (
+        not nr.available()
+        or len(structure.scans) != 1
+        or frame.process.name == "PROGRESSIVE_DCT"
+    ):
+        return None
+    scan = structure.scans[0]
+    sh = scan.header
+    ri = scan.restart_interval
+    if sh.nics != frame.ncs or ri == 0 or ri % frame.mcus_x != 0:
+        return None  # need whole-MCU-row restart alignment
+    total_mcus, params, luts = nr.scan_layout(structure, scan)
+    n_segs = nr._check_segments(scan, total_mcus)
+    mcu_rows_per_seg = ri // frame.mcus_x
+    mcus_y_pad = _padded_mcus_y(frame.mcus_y, n_stripes)
+    rows_per_stripe = mcus_y_pad // n_stripes
+    if rows_per_stripe % mcu_rows_per_seg:
+        return None  # segments must not straddle stripe boundaries
+    segs_per_stripe = rows_per_stripe // mcu_rows_per_seg
+    bounds = list(scan.span.segment_bounds())
+
+    def one_stripe(k):
+        s0 = k * segs_per_stripe
+        s1 = min(s0 + segs_per_stripe, n_segs)
+        lby = [rows_per_stripe * c.vsf for c in frame.components]
+        planes = [
+            np.zeros((lby[ci], c.blocks_x, 64), dtype=COEF_DTYPE)
+            for ci, c in enumerate(frame.components)
+        ]
+        if s0 < s1:
+            local_params = params.copy()
+            # Patch per-unit plane block-heights to the stripe-local value;
+            # every other column (wrap, width) is row-invariant.
+            for u in range(local_params.shape[0]):
+                local_params[u, 10] = lby[int(local_params[u, 0])]
+            local_mcus = min(
+                (s1 - s0) * ri, total_mcus - s0 * ri
+            )
+            # Stripes already run concurrently; one native thread per call
+            # avoids oversubscribing the host cores.
+            nr.decode_scan_native_raw(
+                structure, scan, planes, cfg.replace(num_threads=1),
+                bounds[s0:s1], local_mcus, local_params, luts,
+            )
+        return planes
+
+    with cf.ThreadPoolExecutor(max_workers=min(n_stripes, 8)) as pool:
+        stripe_planes = list(pool.map(one_stripe, range(n_stripes)))
+
+    # Edge-replicate: the stripes covering padding MCU rows got no data for
+    # them (local_mcus stops at the real total); fill those block rows with
+    # the last decoded row so the padded plane matches _pad_plane_rows.
+    real_by = [c.blocks_y for c in frame.components]
+    for ci in range(frame.ncs):
+        flat_rows = 0
+        last_row = None
+        for k in range(n_stripes):
+            p = stripe_planes[k][ci]
+            for r in range(p.shape[0]):
+                if flat_rows < real_by[ci]:
+                    last_row = p[r]
+                else:
+                    p[r] = last_row
+                flat_rows += 1
+    qts = {tid: qt.values for s in structure.scans
+           for tid, qt in s.quant_tables.items()}
+    return stripe_planes, qts
+
+
 def decode_striped(
     data: bytes,
     cfg: DecodeConfig | None = None,
@@ -176,23 +289,41 @@ def decode_striped(
 ):
     """Decode one (large) image with its device stage striped over the mesh.
 
-    Host entropy decode is unchanged (segment-parallel native); only the
-    device compute is spatially sharded.
+    Arbitrary heights are supported (padded stripes, see module docstring).
+    When the restart layout aligns with stripes, the host entropy stage runs
+    stripe-parallel too; otherwise it falls back to the whole-image
+    segment-parallel path and splits afterwards.
     """
     cfg = cfg or DecodeConfig()
     if mesh is None:
         mesh = mesh_mod.make_mesh(n_data=1, n_stripe=len(jax.devices()))
     n_stripes = mesh.shape[mesh_mod.STRIPE_AXIS]
     structure = parse(data, cfg)
-    planes, qts = decoder_mod._entropy_decode(structure, cfg)
     frame = structure.frame
+    mcus_y_pad = _padded_mcus_y(frame.mcus_y, n_stripes)
+
+    striped = entropy_decode_striped(structure, cfg, n_stripes)
+    if striped is not None:
+        stripe_planes, qts = striped
+        dev_inputs = [
+            np.concatenate([stripe_planes[k][ci] for k in range(n_stripes)])
+            for ci in range(frame.ncs)
+        ]
+    else:
+        planes, qts = decoder_mod._entropy_decode(structure, cfg)
+        dev_inputs = [
+            _pad_plane_rows(
+                planes.plane(ci),
+                mcus_y_pad * frame.components[ci].vsf,
+            )
+            for ci in range(frame.ncs)
+        ]
+
     key = decoder_mod._stage_key(
         frame, decoder_mod.qt_by_comp_bytes(frame, qts), cfg
     )
     stage = build_striped_stage(key, mesh, n_stripes)
     sh = NamedSharding(mesh, P(mesh_mod.STRIPE_AXIS))
-    dev_planes = [
-        jax.device_put(planes.plane(ci), sh) for ci in range(frame.ncs)
-    ]
+    dev_planes = [jax.device_put(p, sh) for p in dev_inputs]
     rgb = np.asarray(jax.device_get(stage(*dev_planes)))
     return rgb[: frame.height]

@@ -66,13 +66,17 @@ class EntropyBackend(enum.Enum):
     NATIVE — the C++ runtime (restart-segment-parallel, LUT-based). Default.
     NUMPY  — vectorized NumPy decoder (no native build required).
     ORACLE — the bit-serial NumPy oracle (slow; for conformance testing).
-    DEVICE — experimental on-device Pallas decoder (requires DRI streams).
+    DEVICE — on-device XLA while_loop decoder (correctness testbed).
+    PALLAS — on-device Mosaic lockstep kernel (ops/entropy_pallas.py): up
+             to 128 restart segments decode in hardware SIMD; the
+             compressed-bytes-in-HBM path.
     """
 
     NATIVE = "native"
     NUMPY = "numpy"
     ORACLE = "oracle"
     DEVICE = "device"
+    PALLAS = "pallas"
 
 
 @dataclasses.dataclass(frozen=True)

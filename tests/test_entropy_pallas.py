@@ -1,0 +1,115 @@
+"""Pallas lockstep entropy kernel vs the oracle (interpreter semantics on
+the CPU test mesh; the compiled kernel is validated on hardware by the
+bench/driver runs — same program, same lowering inputs)."""
+
+import numpy as np
+import pytest
+
+from jpeg_decoder_tpu.core import oracle
+from jpeg_decoder_tpu.core.types import CoefficientPlanes
+from jpeg_decoder_tpu.io.parser import parse
+from jpeg_decoder_tpu.models import decoder
+from jpeg_decoder_tpu.ops import entropy_pallas
+from jpeg_decoder_tpu.utils.config import DecodeConfig, EntropyBackend
+
+from . import corpus
+
+CFG = DecodeConfig(entropy_backend=EntropyBackend.PALLAS)
+
+
+def _oracle_planes(data):
+    s = parse(data)
+    planes = CoefficientPlanes(s.frame)
+    for scan in s.scans:
+        oracle.decode_sequential_scan(s, scan, planes)
+    return s, planes
+
+
+@pytest.mark.parametrize(
+    "name,data", corpus.baseline_corpus()[:6],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_pallas_matches_oracle(name, data):
+    s, want = _oracle_planes(data)
+    got, _ = entropy_pallas.entropy_decode(s, CFG)
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+@pytest.mark.parametrize(
+    "name,dri,plain", corpus.dri_corpus(),
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_pallas_multilane(name, dri, plain):
+    s, want = _oracle_planes(dri)
+    assert s.scans[0].span.num_segments > 1
+    got, _ = entropy_pallas.entropy_decode(s, CFG)
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
+def test_pallas_exotic_sampling():
+    for name, data, _arr in corpus.exotic_sampling_corpus()[:3]:
+        s, want = _oracle_planes(data)
+        got, _ = entropy_pallas.entropy_decode(s, CFG)
+        for ci in range(s.frame.ncs):
+            np.testing.assert_array_equal(
+                got.plane(ci), want.plane(ci), err_msg=name
+            )
+
+
+def test_pallas_full_pipeline():
+    name, dri, plain = corpus.dri_corpus()[0]
+    want = decoder.decode(
+        dri, DecodeConfig(entropy_backend=EntropyBackend.ORACLE)
+    ).rgb
+    got = decoder.decode(dri, CFG).rgb
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_truncated_raises():
+    from jpeg_decoder_tpu.utils.errors import JpegError, JpegTruncatedError
+
+    name, data = corpus.baseline_corpus()[0]
+    s = parse(data)
+    span = s.scans[0].span
+    cut = data[: span.start + (span.end - span.start) // 2]
+    try:
+        s2 = parse(cut)
+    except JpegError:
+        return
+    with pytest.raises(JpegTruncatedError):
+        entropy_pallas.entropy_decode(s2, CFG)
+
+
+def test_pallas_corrupt_raises():
+    from jpeg_decoder_tpu.utils.errors import JpegError
+
+    name, data = corpus.baseline_corpus()[0]
+    s = parse(data)
+    span = s.scans[0].span
+    bad = bytearray(data)
+    for i in range(span.start + 8, min(span.start + 24, span.end)):
+        bad[i] = 0xA5
+    try:
+        s2 = parse(bytes(bad))
+    except JpegError:
+        return
+    try:
+        got, _ = entropy_pallas.entropy_decode(s2, CFG)
+        # decoding may "succeed" if the corruption forms valid codes; then
+        # it must agree with the oracle's view of the same bytes
+        _s, want = _oracle_planes(bytes(bad))
+        for ci in range(s2.frame.ncs):
+            np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+    except JpegError:
+        pass
+
+
+def test_pallas_rejects_progressive():
+    from jpeg_decoder_tpu.utils.errors import JpegUnsupportedError
+
+    name, data = corpus.progressive_corpus()[0]
+    s = parse(data)
+    with pytest.raises(JpegUnsupportedError):
+        entropy_pallas.entropy_decode(s, CFG)

@@ -121,14 +121,54 @@ class TestStripes:
         got = stripes_mod.decode_striped(data, cfg, mesh_stripe8)
         np.testing.assert_array_equal(got, want)
 
-    def test_striped_rejects_indivisible(self, mesh_stripe8):
-        from jpeg_decoder_tpu.utils.errors import JpegFormatError
-
+    def test_striped_arbitrary_height(self, mesh_stripe8):
+        """Non-divisible MCU-row counts decode via padded stripes
+        (edge-replicated padding rows, cropped output)."""
         rng = np.random.default_rng(48)
         img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)  # 3 MCU rows
         data = encoder.encode(img, EncodeConfig(quality=85, subsampling="444"))
-        with pytest.raises(JpegFormatError):
-            stripes_mod.decode_striped(data, CFG, mesh_stripe8)
+        want = decoder.decode(data, CFG).rgb
+        got = stripes_mod.decode_striped(data, CFG, mesh_stripe8)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("h", [123, 128, 200])
+    def test_striped_arbitrary_height_420_fancy(self, mesh_stripe8, h):
+        """Padded stripes must stay exact for BOTH upsampling rules at the
+        real bottom edge (the replicated padding row reproduces the fancy
+        rule's edge behavior)."""
+        from jpeg_decoder_tpu.utils.config import Quirks
+
+        rng = np.random.default_rng(49)
+        img = rng.integers(0, 256, (h, 48, 3), dtype=np.uint8)
+        data = encoder.encode(img, EncodeConfig(quality=88, subsampling="420"))
+        for cfg in (CFG, CFG.replace(upsample="fancy", quirks=Quirks.CORRECT)):
+            want = decoder.decode(data, cfg).rgb
+            got = stripes_mod.decode_striped(data, cfg, mesh_stripe8)
+            np.testing.assert_array_equal(got, want)
+
+    def test_striped_entropy_segment_groups(self, mesh_stripe8):
+        """When DRI covers whole MCU rows, the host entropy stage decodes
+        per-stripe segment groups into stripe-local buffers — output must
+        stay identical to the whole-image path."""
+        import io
+
+        from PIL import Image
+        from jpeg_decoder_tpu.io.parser import parse
+        from jpeg_decoder_tpu.parallel.stripes import entropy_decode_striped
+
+        rng = np.random.default_rng(50)
+        img = rng.integers(0, 256, (200, 64, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(
+            buf, "JPEG", quality=88, subsampling=2, restart_marker_rows=1
+        )
+        data = buf.getvalue()
+        s = parse(data)
+        striped = entropy_decode_striped(s, CFG, 8)
+        assert striped is not None, "row-aligned DRI should enable striping"
+        got = stripes_mod.decode_striped(data, CFG, mesh_stripe8)
+        want = decoder.decode(data, CFG).rgb
+        np.testing.assert_array_equal(got, want)
 
 
 class TestMesh:
