@@ -32,6 +32,14 @@ Everything else is branch-free vector math:
 Decodes baseline/extended sequential scans (any sampling); progressive
 falls back to the host backends. Truncation and invalid codes flag the
 lane; the caller raises, mirroring the other backends' error contract.
+
+Measured on TPU v5e (4K 4:2:0 q85, 256 restart segments, 762 DU rounds
+per 128-lane group): 55 ms/group device-side = ~75 MP/s — 44x the XLA
+while_loop backend this replaces (1.7 MP/s), bit-exact vs the native
+C++ decoder on hardware. The serial chain is currently bound by the
+per-symbol window-fetch relayouts ([1,128] <-> [128,1] transposes around
+the lane crossbar); throughput scales inversely with symbols-per-segment,
+so finer restart intervals decode proportionally faster.
 """
 
 from __future__ import annotations
@@ -61,9 +69,14 @@ from ..utils.errors import (
 I32 = jnp.int32
 U32 = jnp.uint32
 LANES = 128
-WIN = 128          # per-lane window capacity, 32-bit words
-GUARD = 64         # rebase when fewer words remain (worst legal DU ~61)
+WIN = 128          # per-round crossbar window, 32-bit words
+BIG = 16           # big-window depth in 128-word blocks (2048 words/lane)
 MAX_SYMS = 70      # AC-loop hard cap per DU (64 legal symbols + margin)
+# Safety ledger: one DU consumes at most ~61 words (DC 31 bits + 63 AC
+# symbols at <= 30 bits each), the per-round window starts at wpos & ~63,
+# so the round never reads past start + 63 + 61 < start + WIN; the big
+# window rebases (1024-word-quantized DMA) whenever wpos - bigbase >= 1024,
+# so the two blocks the round window draws from always exist.
 
 
 # ---------------------------------------------------------------------------
@@ -224,10 +237,12 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
     """
     dc_of_u, ac_of_u, sci_of_u = sched_tuple
 
+    Wr = W_words // 128  # stream depth in 128-word blocks, multiple of 8
+
     def kernel(thr_ref, sched_ref, nwords_ref, mcu_count_ref, base_ref,
                sym_ref, streams_ref, out_ref, state_ref,
-               win_ref, stage_ref, bbhi_ref, bblo_ref, nbits_ref, wpos_ref,
-               winbase_ref, preds_ref, bad_ref, acc_ref, sem_ref):
+               winbig_ref, bbhi_ref, bblo_ref, nbits_ref, wpos_ref,
+               bigbase_ref, preds_ref, bad_ref, acc_ref, sem_ref):
         r = pl.program_id(0)
 
         @pl.when(r == 0)
@@ -236,42 +251,35 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
             bblo_ref[...] = jnp.zeros((1, LANES), U32)
             nbits_ref[...] = jnp.zeros((1, LANES), I32)
             wpos_ref[...] = jnp.zeros((1, LANES), I32)
-            winbase_ref[...] = jnp.full((1, LANES), -WIN, I32)
+            bigbase_ref[...] = jnp.full((1, LANES), -(BIG * 128), I32)
             preds_ref[...] = jnp.zeros((8, LANES), I32)
             bad_ref[...] = jnp.zeros((1, LANES), I32)
             acc_ref[...] = jnp.zeros((64, LANES), I32)
 
-        # --- window rebase: lanes whose window runs low get a fresh DMA --
+        # --- big-window rebase: per-lane 2048-word DMA, 1024-quantized ---
         wpos_v = wpos_ref[...]
-        winbase_v = winbase_ref[...]
-        lane_needs = (wpos_v - winbase_v) > (WIN - GUARD)
+        bigbase_v = bigbase_ref[...]
+        lane_needs = (wpos_v - bigbase_v) >= 1024
         any_needs = jnp.any(lane_needs)
-        # New base per lane, 64-word quantized (the 1-D stream slice offset
-        # then satisfies Mosaic's tiling alignment) and clamped so the
-        # 128-word read stays inside the zero-word tail padding. After a
-        # rebase, (wpos - newbase) <= 63, so >= 65 words remain — above the
-        # worst-legal-DU GUARD of 64.
-        newbase = jnp.minimum(wpos_v & ~63, (W_words - WIN) & ~63)
-        winbase_ref[...] = jnp.where(lane_needs, newbase, winbase_v)
-        # scalar handoff: predicates and offsets via VMEM scratch reads
+        newbase = jnp.clip(wpos_v & ~1023, 0, (Wr - BIG) * 128)
+        bigbase_ref[...] = jnp.where(lane_needs, newbase, bigbase_v)
+        # scalar handoff: predicates and block rows via VMEM scratch reads
         state_ref[2, :] = jnp.where(lane_needs, 1, 0)[0]
-        state_ref[3, :] = newbase[0]
+        state_ref[3, :] = (newbase >> 7)[0]
 
         @pl.when(any_needs)
         def _rebase():
-            # Per-lane refill through 1-D views: 2-D tiled memrefs reject
-            # single-row DMA slices, so the streams live flat in HBM and a
-            # flat VMEM staging strip receives each lane's 128 words; the
-            # 2-D crossbar window is then updated with static row stores.
+            # [16, 128]-block slices of the 3-D stream keep both tiled
+            # dims aligned (single-row 2-D slices are rejected by Mosaic).
             for lane in range(LANES):
                 flag = state_ref[2, lane]
 
                 @pl.when(flag == 1)
                 def _issue(lane=lane):
-                    off = state_ref[3, lane]
+                    blk = pl.multiple_of(state_ref[3, lane], 8)
                     pltpu.make_async_copy(
-                        streams_ref.at[pl.ds(lane * W_words + off, WIN)],
-                        stage_ref.at[pl.ds(lane * WIN, WIN)],
+                        streams_ref.at[lane, pl.ds(blk, BIG), :],
+                        winbig_ref.at[lane],
                         sem_ref.at[lane % 16],
                     ).start()
 
@@ -280,21 +288,12 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
 
                 @pl.when(flag == 1)
                 def _wait(lane=lane):
-                    off = state_ref[3, lane]
+                    blk = pl.multiple_of(state_ref[3, lane], 8)
                     pltpu.make_async_copy(
-                        streams_ref.at[pl.ds(lane * W_words + off, WIN)],
-                        stage_ref.at[pl.ds(lane * WIN, WIN)],
+                        streams_ref.at[lane, pl.ds(blk, BIG), :],
+                        winbig_ref.at[lane],
                         sem_ref.at[lane % 16],
                     ).wait()
-
-            for lane in range(LANES):
-                flag = state_ref[2, lane]
-
-                @pl.when(flag == 1)
-                def _copy(lane=lane):
-                    win_ref[lane, :] = stage_ref[
-                        pl.ds(lane * WIN, WIN)
-                    ].reshape(WIN)
 
         # --- per-round schedule (r % P selects the unit; SMEM scalars) ---
         u = r % P
@@ -304,9 +303,25 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
         m = r // P
         active = (m < mcu_count_ref[0, :]).reshape(1, LANES)
 
-        win = win_ref[...]
-        winbase_v = winbase_ref[...]
-        nword_v = nwords_ref[...]
+        # --- per-round 128-word crossbar window -------------------------
+        # start at wpos & ~63: the round consumes <= 61 more words, so
+        # [start, start+128) covers it; built from the (at most two)
+        # big-window blocks it spans via static selects — no gathers.
+        wpos_v = wpos_ref[...]
+        bigbase_v = bigbase_ref[...]
+        start = wpos_v & ~63
+        relblk = (start - bigbase_v) >> 7          # [1,LANES] in [0, 8]
+        blkcol = relblk.reshape(LANES, 1)
+        halfsel = (start & 64).reshape(LANES, 1) > 0
+        A = jnp.zeros((LANES, WIN), U32)
+        B = jnp.zeros((LANES, WIN), U32)
+        for k in range(10):
+            blk_k = winbig_ref[:, k, :]
+            A = jnp.where(blkcol == k, blk_k, A)
+            B = jnp.where(blkcol == (k - 1), blk_k, B)
+        mixed = jnp.concatenate([A[:, 64:], B[:, :64]], axis=1)
+        win = jnp.where(halfsel, mixed, A)
+        winbase_v = start
 
         # SMEM threshold scalars for the selected tables. thr_ref is
         # [n_luts, 16]; lut ids are traced scalars -> dynamic SMEM reads.
@@ -359,7 +374,7 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
         def ac_body(st):
             bbhi, bblo, nbits, wpos, ci, running, bad, it = st
             sym, ln = _decode_sym(bbhi, ac_thr, ac_base, ac_sym)
-            act = running & active
+            act = (running > 0) & active
             bad = bad | jnp.where(act & (sym == 0x1FF), 1, 0)
             sym = jnp.where(sym == 0x1FF, 0, sym)  # treat as EOB once bad
             size = sym & 15
@@ -395,16 +410,18 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
                 jnp.where(is_zrl, ci + 16, ci_t + 1),
                 ci,
             )
-            running = running & (~is_eob) & (ci <= 63) & (~(bad > 0))
+            running = jnp.where(
+                (running > 0) & (~is_eob) & (ci <= 63) & (~(bad > 0)), 1, 0
+            )
             return bbhi, bblo, nbits, wpos, ci, running, bad, it + 1
 
         def ac_cond(st):
             _bbhi, _bblo, _nbits, _wpos, _ci, running, _bad, it = st
-            return jnp.any(running & active) & (it < MAX_SYMS)
+            return jnp.any((running > 0) & active) & (it < MAX_SYMS)
 
         st = (bbhi, bblo, nbits, wpos,
               jnp.ones((1, LANES), I32),           # ci starts at 1
-              active, bad, jnp.zeros((), I32))
+              jnp.where(active, 1, 0), bad, jnp.zeros((), I32))
         bbhi, bblo, nbits, wpos, _ci, _run, bad, _it = lax.while_loop(
             ac_cond, ac_body, st)
 
@@ -445,13 +462,12 @@ def _build_decode_fn(R, P, n_luts, W_words, sched_tuple, interpret):
                          memory_space=pltpu.VMEM),    # final state
         ],
         scratch_shapes=[
-            pltpu.VMEM((LANES, WIN), U32),   # win
-            pltpu.VMEM((LANES * WIN,), U32),  # flat DMA staging strip
+            pltpu.VMEM((LANES, BIG, 128), U32),  # winbig (2048 words/lane)
             pltpu.VMEM((1, LANES), U32),     # bbhi
             pltpu.VMEM((1, LANES), U32),     # bblo
             pltpu.VMEM((1, LANES), I32),     # nbits
             pltpu.VMEM((1, LANES), I32),     # wpos
-            pltpu.VMEM((1, LANES), I32),     # winbase
+            pltpu.VMEM((1, LANES), I32),     # bigbase
             pltpu.VMEM((8, LANES), I32),     # preds
             pltpu.VMEM((1, LANES), I32),     # bad
             pltpu.VMEM((64, LANES), I32),    # acc
@@ -478,13 +494,15 @@ def _build_decode_fn(R, P, n_luts, W_words, sched_tuple, interpret):
 
 def _pack_group(structure, seg_bounds):
     """Unstuff a group of <= LANES segments into [LANES, W_words] uint32
-    big-endian words (+WIN zero-word tail) and per-lane word counts."""
+    big-endian words (zero tail >= one big window; total a multiple of
+    1024 so the rebase DMA's block rows stay 8-aligned) and per-lane word
+    counts."""
     segs = []
     for s, e in seg_bounds:
         unstuffed, _ = bsio.unstuff(structure.data, s, e)
         segs.append(unstuffed)
     maxlen = max(x.shape[0] for x in segs)
-    W_words = -(-maxlen // 4) + WIN
+    W_words = -(-(-(-maxlen // 4) + BIG * 128) // 1024) * 1024
     arr = np.zeros((LANES, W_words * 4), dtype=np.uint8)
     nbytes = np.zeros(LANES, dtype=np.int64)
     for i, x in enumerate(segs):
@@ -560,7 +578,7 @@ def decode_scan_pallas(structure, scan, planes: CoefficientPlanes, cfg,
             jnp.asarray(mcu_count).reshape(1, LANES),
             jnp.asarray(basetabs),
             jnp.asarray(symtabs),
-            jnp.asarray(words.reshape(-1)),
+            jnp.asarray(words.reshape(LANES, W_words // 128, 128)),
         )
         state = np.asarray(jax.device_get(state))
         bad = state[1]
