@@ -31,8 +31,22 @@ either way — host entropy decode is the bottleneck):
     EXACT (df32)    : 28.7 ms / 1M blocks  (~2.2 GP/s)
 XLA's own fusion of dequant+matmul+epilogue beats this hand-written
 schedule (its 6-pass f32 matmul pipelines better), so the XLA path stays
-the default; the kernel is kept as the scheduling baseline and the
-foundation for a future int8/bf16-input variant.
+the default; the kernel is kept as the scheduling baseline.
+
+WHY XLA WINS HERE (the retirement analysis): this op is a dense
+[N, 64] @ [64, 64] matmul with elementwise pre/post stages — exactly the
+shape XLA's TPU emitter is built around. Its fusion already achieves one
+HBM read + one HBM write, its latency-hiding pipeline across grid steps
+is generated from a cost model this kernel can only approximate, and the
+Precision.HIGHEST decomposition overlaps its bf16 passes in ways a single
+hand-written `jnp.dot` does not. A bf16-input variant cannot beat it on
+numerics either: coefficients (<= 15 bits) would need a hi/lo split into
+TWO bf16 matmuls plus an f32 combine — the same work HIGHEST already
+schedules. Hand scheduling pays on TPU where the COMPILER cannot express
+the computation — data-dependent control flow, per-lane gathers, serial
+state — which is why the Pallas investment moved to the entropy stage
+(ops/entropy_pallas.py: 44x over the XLA formulation of the same loop),
+not this one.
 """
 
 from __future__ import annotations
