@@ -315,7 +315,12 @@ def _try_speculative(
     )
     if rc == 0:
         return True
-    if rc == 4:  # could not apply/synchronize (plane untouched): fall back
+    if rc == 4:
+        # Could not apply/synchronize. Chunk 0 decodes DIRECTLY into the
+        # planes before the stitch can fail, so the planes may hold partial
+        # data here — safe only because the serial fallback re-decodes and
+        # overwrites every block the scan covers. Do not reuse the planes
+        # for anything else between this return and the serial decode.
         return False
     raise JpegEntropyError(f"speculative decode failed: {_STATUS.get(rc, rc)}")
 

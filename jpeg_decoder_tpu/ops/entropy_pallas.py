@@ -150,14 +150,34 @@ def _ladder_for_spec(spec):
 # ---------------------------------------------------------------------------
 
 
-def _merge_fetch(bbhi, bblo, nbits, wpos, win, winbase):
-    """Fetch one window word into (bbhi, bblo) for lanes with nbits <= 32.
+def _refill_w8(wpos, win, winbase):
+    """Stage the next 8 words per lane into a lanes-as-COLUMNS [8, LANES]
+    register block. This is the expensive direction (one [1,128]->[128,1]
+    relayout + a [LANES, WIN] crossbar + a [LANES,8]->[8,LANES] transpose)
+    but runs only every few symbols; the per-symbol fetch then uses a
+    relayout-free sublane gather on the staged block.
 
-    win: [LANES, WIN] uint32, lane = row. Returns updated state."""
+    The stage ORIGIN is always wpos (w8base must equal it); only the
+    per-word gather index clips to WIN-1. Tail slots past the window end
+    may then stage garbage, but the round ledger bounds actual fetches to
+    wpos - winbase <= 125 < WIN, so a clipped slot is never consumed."""
+    rel = jnp.maximum(wpos - winbase, 0)
+    relcol = rel.reshape(LANES, 1)
+    cols = jax.lax.broadcasted_iota(I32, (LANES, WIN), 1) & 7
+    idx = jnp.clip(relcol + cols, 0, WIN - 1)
+    got = jnp.take_along_axis(win, idx, axis=1)[:, :8]   # [LANES, 8]
+    return jnp.transpose(got), wpos                       # [8, LANES], base
+
+
+def _merge_fetch(bbhi, bblo, nbits, wpos, w8, w8base):
+    """Fetch one staged word into (bbhi, bblo) for lanes with nbits <= 32.
+
+    w8: [8, LANES] uint32 staged words, lane = column — the fetch is a
+    single in-vreg sublane gather with broadcast indices (no relayouts)."""
     need = nbits <= 32
-    rel = jnp.clip(wpos - winbase, 0, WIN - 1)
-    idx = jnp.broadcast_to(rel.reshape(LANES, 1), (LANES, WIN))
-    got = jnp.take_along_axis(win, idx, axis=1)[:, :1].reshape(1, LANES)
+    slot = jnp.clip(wpos - w8base, 0, 7)
+    idx = jnp.broadcast_to(slot, (8, LANES))
+    got = jnp.take_along_axis(w8, idx, axis=0)[:1]
     w = jnp.where(need, got, U32(0))
     nb = nbits.astype(U32)
     # insert w at bit offset nbits (MSB-aligned 64-bit window in two u32)
@@ -239,7 +259,7 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
 
     Wr = W_words // 128  # stream depth in 128-word blocks, multiple of 8
 
-    def kernel(thr_ref, sched_ref, nwords_ref, mcu_count_ref, base_ref,
+    def kernel(thr_ref, sched_ref, mcu_count_ref, base_ref,
                sym_ref, streams_ref, out_ref, state_ref,
                winbig_ref, bbhi_ref, bblo_ref, nbits_ref, wpos_ref,
                bigbase_ref, preds_ref, bad_ref, acc_ref, sem_ref):
@@ -338,11 +358,16 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
         wpos = wpos_ref[...]
         bad = bad_ref[...]
 
+        # stage the first 8 words; the round's fetches then run on cheap
+        # sublane gathers, re-staging every 4th AC symbol (ledger: DC does
+        # <= 3 fetches, each AC iteration <= 1, so the slot never hits 8)
+        w8, w8base = _refill_w8(wpos, win, winbase_v)
+
         # establish the >= 33-bit invariant (two fetches cover nbits == 0)
         bbhi, bblo, nbits, wpos = _merge_fetch(
-            bbhi, bblo, nbits, wpos, win, winbase_v)
+            bbhi, bblo, nbits, wpos, w8, w8base)
         bbhi, bblo, nbits, wpos = _merge_fetch(
-            bbhi, bblo, nbits, wpos, win, winbase_v)
+            bbhi, bblo, nbits, wpos, w8, w8base)
 
         # --- DC symbol ---------------------------------------------------
         sym, ln = _decode_sym(bbhi, dc_thr, dc_base, dc_sym)
@@ -356,7 +381,7 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
         bbhi, bblo, nbits = _consume(
             bbhi, bblo, nbits, jnp.where(active, size, 0))
         bbhi, bblo, nbits, wpos = _merge_fetch(
-            bbhi, bblo, nbits, wpos, win, winbase_v)
+            bbhi, bblo, nbits, wpos, w8, w8base)
         diff = _extend(v, size)
         pred_row = jnp.take_along_axis(
             preds_ref[...], jnp.broadcast_to(sci.reshape(1, 1),
@@ -372,7 +397,7 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
 
         # --- AC loop -----------------------------------------------------
         def ac_body(st):
-            bbhi, bblo, nbits, wpos, ci, running, bad, it = st
+            bbhi, bblo, nbits, wpos, ci, running, bad, it, w8, w8base = st
             sym, ln = _decode_sym(bbhi, ac_thr, ac_base, ac_sym)
             act = (running > 0) & active
             bad = bad | jnp.where(act & (sym == 0x1FF), 1, 0)
@@ -384,10 +409,12 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
             bbhi, bblo, nbits = _consume(
                 bbhi, bblo, nbits, jnp.where(act, ln, 0))
             ci_t = ci + run
-            write = act & (~is_eob) & (~is_zrl) & (size > 0)
-            oob = write & (ci_t > 63)
+            # any non-EOB/ZRL symbol whose run pushes past 63 is malformed
+            # (the oracle raises, the native decoder returns COEF_RANGE),
+            # including zero-size symbols that write nothing
+            oob = act & (~is_eob) & (~is_zrl) & (ci_t > 63)
             bad = bad | jnp.where(oob, 1, 0)
-            write = write & (ci_t <= 63)
+            write = act & (~is_eob) & (~is_zrl) & (size > 0) & (ci_t <= 63)
             v = jnp.where(
                 size > 0,
                 (bbhi >> (U32(32) - size.astype(U32))).astype(I32), 0,
@@ -395,7 +422,12 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
             bbhi, bblo, nbits = _consume(
                 bbhi, bblo, nbits, jnp.where(act, size, 0))
             bbhi, bblo, nbits, wpos = _merge_fetch(
-                bbhi, bblo, nbits, wpos, win, winbase_v)
+                bbhi, bblo, nbits, wpos, w8, w8base)
+            w8, w8base = lax.cond(
+                (it & 3) == 3,
+                lambda: _refill_w8(wpos, win, winbase_v),
+                lambda: (w8, w8base),
+            )
             val = _extend(v, size)
             onehot = (
                 jax.lax.broadcasted_iota(I32, (64, LANES), 0)
@@ -413,17 +445,19 @@ def _build_pallas_decode(R, P, n_luts, W_words, sched_tuple):
             running = jnp.where(
                 (running > 0) & (~is_eob) & (ci <= 63) & (~(bad > 0)), 1, 0
             )
-            return bbhi, bblo, nbits, wpos, ci, running, bad, it + 1
+            return (bbhi, bblo, nbits, wpos, ci, running, bad, it + 1,
+                    w8, w8base)
 
         def ac_cond(st):
-            _bbhi, _bblo, _nbits, _wpos, _ci, running, _bad, it = st
+            running, it = st[5], st[7]
             return jnp.any((running > 0) & active) & (it < MAX_SYMS)
 
         st = (bbhi, bblo, nbits, wpos,
               jnp.ones((1, LANES), I32),           # ci starts at 1
-              jnp.where(active, 1, 0), bad, jnp.zeros((), I32))
-        bbhi, bblo, nbits, wpos, _ci, _run, bad, _it = lax.while_loop(
-            ac_cond, ac_body, st)
+              jnp.where(active, 1, 0), bad, jnp.zeros((), I32),
+              w8, w8base)
+        (bbhi, bblo, nbits, wpos, _ci, _run, bad, _it,
+         _w8, _w8b) = lax.while_loop(ac_cond, ac_body, st)
 
         # --- flush the block and persist state ---------------------------
         out_ref[0, :, :] = acc_ref[...].astype(jnp.int16)
@@ -449,7 +483,6 @@ def _build_decode_fn(R, P, n_luts, W_words, sched_tuple, interpret):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # thr [n_luts, 16]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # sched [3, P]
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # nwords [1, LANES]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # mcu_count [1, LANES]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # base [n_luts, 8, 128]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # sym [n_luts, 8, 128]
@@ -574,7 +607,6 @@ def decode_scan_pallas(structure, scan, planes: CoefficientPlanes, cfg,
         coeffs, state = fn(
             jnp.asarray(thr),
             jnp.asarray(sched_arr),
-            jnp.asarray((nbytes // 4).astype(np.int32)).reshape(1, LANES),
             jnp.asarray(mcu_count).reshape(1, LANES),
             jnp.asarray(basetabs),
             jnp.asarray(symtabs),

@@ -211,10 +211,12 @@ def entropy_decode_striped(
     doesn't support striped entropy (caller falls back to whole-image).
     """
     from ..native import runtime as nr
+    from ..utils.config import EntropyBackend
 
     frame = structure.frame
     if (
-        not nr.available()
+        cfg.entropy_backend != EntropyBackend.NATIVE  # honor the config
+        or not nr.available()
         or len(structure.scans) != 1
         or frame.process.name == "PROGRESSIVE_DCT"
     ):

@@ -164,10 +164,19 @@ class TestStripes:
         )
         data = buf.getvalue()
         s = parse(data)
-        striped = entropy_decode_striped(s, CFG, 8)
+        from jpeg_decoder_tpu.native import runtime as nr
+
+        if not nr.available():
+            pytest.skip("native runtime unavailable")
+        # striped entropy engages only for the NATIVE backend (the gate
+        # honors cfg.entropy_backend — a conformance run configured for
+        # ORACLE/NUMPY must not silently get the native decoder)
+        ncfg = CFG.replace(entropy_backend=EntropyBackend.NATIVE)
+        assert entropy_decode_striped(s, CFG, 8) is None
+        striped = entropy_decode_striped(s, ncfg, 8)
         assert striped is not None, "row-aligned DRI should enable striping"
-        got = stripes_mod.decode_striped(data, CFG, mesh_stripe8)
-        want = decoder.decode(data, CFG).rgb
+        got = stripes_mod.decode_striped(data, ncfg, mesh_stripe8)
+        want = decoder.decode(data, ncfg).rgb
         np.testing.assert_array_equal(got, want)
 
 
