@@ -67,7 +67,8 @@ def test_12bit_parse_and_coefficients():
 
 @pytest.mark.parametrize(
     "backend", [EntropyBackend.ORACLE, EntropyBackend.NUMPY,
-                EntropyBackend.NATIVE, EntropyBackend.DEVICE]
+                EntropyBackend.NATIVE, EntropyBackend.DEVICE,
+                EntropyBackend.PALLAS]
 )
 def test_12bit_full_decode_all_backends(backend):
     data, blocks, qt = _make_12bit_gray()
