@@ -34,12 +34,20 @@ falls back to the host backends. Truncation and invalid codes flag the
 lane; the caller raises, mirroring the other backends' error contract.
 
 Measured on TPU v5e (4K 4:2:0 q85, 256 restart segments, 762 DU rounds
-per 128-lane group): 55 ms/group device-side = ~75 MP/s — 44x the XLA
+per 128-lane group): ~50 ms/group device-side = ~80 MP/s — 45x the XLA
 while_loop backend this replaces (1.7 MP/s), bit-exact vs the native
-C++ decoder on hardware. The serial chain is currently bound by the
-per-symbol window-fetch relayouts ([1,128] <-> [128,1] transposes around
-the lane crossbar); throughput scales inversely with symbols-per-segment,
-so finer restart intervals decode proportionally faster.
+C++ decoder on hardware. Ablation probes (ladder removed / symbol
+gathers removed / word fetch removed, each ~-30-40%) show the
+per-symbol cost is spread evenly across the three chain stages, and a
+4x-unrolled AC loop measured SLOWER (the while condition was not the
+bottleneck; overshoot plus an unconditional per-trip restage cost
+more) — the kernel sits near the latency floor of its lockstep-SIMD
+structure. A value-resolved fast path cannot help in lockstep: the
+worst lane's path bounds every step, and P(all 128 lanes take the fast
+path) is ~0. Throughput therefore scales inversely with
+symbols-per-segment — finer restart intervals decode proportionally
+faster (the kernel's sweet spot is many short segments, the shape this
+engine's own encoder emits).
 """
 
 from __future__ import annotations
