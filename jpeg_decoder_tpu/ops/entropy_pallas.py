@@ -29,9 +29,12 @@ Everything else is branch-free vector math:
     for lanes below the worst-case-DU guard (unrolled with scalar
     predication; vector->scalar handoff goes through a VMEM scratch ref).
 
-Decodes baseline/extended sequential scans (any sampling); progressive
-falls back to the host backends. Truncation and invalid codes flag the
-lane; the caller raises, mirroring the other backends' error contract.
+Decodes baseline/extended sequential scans (any sampling) with restart
+intervals — the shapes with a lane seam. Progressive scans, restart-free
+streams, and oversized segments are REJECTED with JpegUnsupportedError
+(no silent fallback: the caller picks a host backend). Truncation and
+invalid codes flag the lane; the caller raises, mirroring the other
+backends' error contract.
 
 Measured on TPU v5e (4K 4:2:0 q85, 256 restart segments, 762 DU rounds
 per 128-lane group): ~50 ms/group device-side = ~80 MP/s — 45x the XLA
@@ -102,7 +105,9 @@ def _ladder_tables(spec):
     comparison then never increments past them). Invalid prefixes resolve
     to index 1023, whose symbol slot is the sentinel 0x1FF.
     """
-    tab = build_canonical(spec)
+    # Validation only: build_canonical raises on oversubscribed/invalid
+    # DHT counts before the ladder would silently encode garbage.
+    build_canonical(spec)
     counts = np.asarray(spec.counts, dtype=np.int64)
     symbols = np.asarray(spec.symbols, dtype=np.int64)
     thr = np.zeros(16, dtype=np.int64)
@@ -126,7 +131,6 @@ def _ladder_tables(spec):
     for j in range(1, 16):
         if thr[j] < thr[j - 1]:
             thr[j] = thr[j - 1]
-    del tab
     return (
         thr.astype(np.int32),
         base.astype(np.int32),
@@ -543,7 +547,10 @@ def _pack_group(structure, seg_bounds):
         unstuffed, _ = bsio.unstuff(structure.data, s, e)
         segs.append(unstuffed)
     maxlen = max(x.shape[0] for x in segs)
-    W_words = -(-(-(-maxlen // 4) + BIG * 128) // 1024) * 1024
+    # Quantize the stream depth coarsely (4096-word buckets) so the kernel
+    # compile key stays stable across same-shaped images whose segment
+    # lengths differ by content.
+    W_words = -(-(-(-maxlen // 4) + BIG * 128) // 4096) * 4096
     arr = np.zeros((LANES, W_words * 4), dtype=np.uint8)
     nbytes = np.zeros(LANES, dtype=np.int64)
     for i, x in enumerate(segs):
@@ -559,13 +566,32 @@ def _pack_group(structure, seg_bounds):
     return words, nbytes, W_words
 
 
+#: Reject scans whose per-group output would exceed this (bytes) — the
+#: lockstep kernel only pays off with MANY SHORT segments; a restart-free
+#: stream would otherwise allocate R*64*128 int16 of output for one live
+#: lane (and a >=256 MB segment would overflow the int32 bit counter).
+_MAX_GROUP_OUT_BYTES = 512 << 20
+
+
 def decode_scan_pallas(structure, scan, planes: CoefficientPlanes, cfg,
                        interpret: bool = False):
     frame = structure.frame
-    total_mcus, params, luts_flat = scan_layout(structure, scan)
+    total_mcus, params, _luts_flat = scan_layout(structure, scan)
     n_segs = _check_segments(scan, total_mcus)
     ri = scan.restart_interval or total_mcus
     P = params.shape[0]
+    group_out_bytes = ri * P * 64 * LANES * 2
+    if scan.restart_interval == 0 and total_mcus > 256:
+        raise JpegUnsupportedError(
+            "pallas entropy backend needs restart intervals (lockstep lanes"
+            " = restart segments); use the native backend for restart-free"
+            " streams"
+        )
+    if group_out_bytes > _MAX_GROUP_OUT_BYTES:
+        raise JpegUnsupportedError(
+            f"restart segments too long for the pallas backend"
+            f" ({ri} MCUs/segment); use the native backend"
+        )
 
     # ladder tables per distinct (class, id) spec used by this scan
     specs = []
@@ -603,7 +629,10 @@ def decode_scan_pallas(structure, scan, planes: CoefficientPlanes, cfg,
         for i in range(len(group)):
             s_abs = g0 + i
             mcu_count[i] = min(ri, total_mcus - s_abs * ri)
-        R = int(mcu_count.max()) * P
+        # Shape-stable compile key: pad R to the full restart interval
+        # (excess rounds are active-masked) so content-dependent group
+        # maxima don't trigger fresh multi-minute Mosaic compiles.
+        R = ri * P
         fn = _build_decode_fn(
             R, P, len(specs), W_words,
             (tuple(sched_dc), tuple(sched_ac), tuple(sched_sci)),

@@ -235,6 +235,10 @@ def entropy_decode_striped(
         return None  # segments must not straddle stripe boundaries
     segs_per_stripe = rows_per_stripe // mcu_rows_per_seg
     bounds = list(scan.span.segment_bounds())
+    import os as _os
+
+    total_threads = cfg.num_threads or _os.cpu_count() or 1
+    per_stripe_threads = max(1, total_threads // min(n_stripes, 8))
 
     def one_stripe(k):
         s0 = k * segs_per_stripe
@@ -253,10 +257,12 @@ def entropy_decode_striped(
             local_mcus = min(
                 (s1 - s0) * ri, total_mcus - s0 * ri
             )
-            # Stripes already run concurrently; one native thread per call
-            # avoids oversubscribing the host cores.
+            # Stripes run concurrently; split the thread budget across
+            # them (each stripe's segment group is itself segment-parallel,
+            # so a many-core host still uses all its cores).
             nr.decode_scan_native_raw(
-                structure, scan, planes, cfg.replace(num_threads=1),
+                structure, scan, planes,
+                cfg.replace(num_threads=per_stripe_threads),
                 bounds[s0:s1], local_mcus, local_params, luts,
             )
         return planes

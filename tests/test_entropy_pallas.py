@@ -113,3 +113,21 @@ def test_pallas_rejects_progressive():
     s = parse(data)
     with pytest.raises(JpegUnsupportedError):
         entropy_pallas.entropy_decode(s, CFG)
+
+
+def test_pallas_rejects_restart_free_large():
+    """Restart-free streams have one lane and an R*64*128 output per MCU —
+    the backend's contract is many short segments; big no-DRI streams are
+    rejected up front (use the native backend)."""
+    import io
+
+    from PIL import Image
+    from jpeg_decoder_tpu.utils.errors import JpegUnsupportedError
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 256, (256, 256), dtype=np.uint8)  # 1024 MCUs
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, "JPEG", quality=85)
+    s = parse(buf.getvalue())
+    with pytest.raises(JpegUnsupportedError):
+        entropy_pallas.entropy_decode(s, CFG)
