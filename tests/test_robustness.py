@@ -84,3 +84,43 @@ def test_progressive_corruption():
         for _k in range(3):
             bad[rng.integers(2, len(bad))] = rng.integers(0, 256)
         _try_decode(bytes(bad), EntropyBackend.NATIVE)
+
+
+@pytest.mark.parametrize(
+    "backend", [EntropyBackend.DEVICE, EntropyBackend.PALLAS],
+    ids=lambda b: b.value,
+)
+def test_device_backends_corruption(backend):
+    """The on-device backends under byte corruption: structured errors or
+    best-effort output, never an unstructured crash (round-1 gap: fuzzing
+    covered only the host backends)."""
+    rng = np.random.default_rng(9)
+    name, data = corpus.baseline_corpus()[0]
+    cfg = DecodeConfig(entropy_backend=backend, use_device=False)
+    for _ in range(8):
+        bad = bytearray(data)
+        for _k in range(rng.integers(1, 5)):
+            bad[rng.integers(2, len(bad))] = rng.integers(0, 256)
+        try:
+            img = decoder.decode(bytes(bad), cfg)
+            assert img.rgb is None or img.rgb.dtype == np.uint8
+        except JpegError:
+            pass
+        except (OverflowError, IndexError, ValueError, ZeroDivisionError) as e:
+            pytest.fail(f"unstructured {type(e).__name__}: {e}")
+
+
+@pytest.mark.parametrize(
+    "backend", [EntropyBackend.DEVICE, EntropyBackend.PALLAS],
+    ids=lambda b: b.value,
+)
+def test_device_backends_truncation_ladder(backend):
+    name, data = corpus.baseline_corpus()[0]
+    cfg = DecodeConfig(entropy_backend=backend, use_device=False)
+    for frac in (0.3, 0.7, 0.95):
+        try:
+            decoder.decode(data[: int(len(data) * frac)], cfg)
+        except JpegError:
+            pass
+        except (OverflowError, IndexError, ValueError, ZeroDivisionError) as e:
+            pytest.fail(f"unstructured {type(e).__name__}: {e}")
