@@ -26,10 +26,13 @@ run_python_suite() {
     UBSAN_OPTIONS="halt_on_error=1:print_stacktrace=1" \
     TSAN_OPTIONS="halt_on_error=1:report_bugs=1:second_deadlock_stack=1:suppressions=$REPO/tests/tools/tsan.supp" \
     JAX_PLATFORMS=cpu \
-    timeout 900 python -m pytest \
+    XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+    timeout 1200 python -m pytest \
         tests/test_native.py tests/test_speculative.py \
         tests/test_robustness.py tests/test_wild_corpus.py \
-        tests/test_progressive.py tests/test_encoder.py \
+        tests/test_progressive.py tests/test_progressive_edge.py \
+        tests/test_encoder.py tests/test_12bit.py \
+        tests/test_parallel.py \
         -q -p no:cacheprovider -x "$@" 2>&1
 }
 
