@@ -86,6 +86,45 @@ def test_progressive_corruption():
         _try_decode(bytes(bad), EntropyBackend.NATIVE)
 
 
+def test_exotic_sampling_corruption_agreement():
+    """Random exotic-sampling shapes under single-bit corruption: every
+    backend that decodes successfully must produce bit-identical pixels,
+    and clean decodes must agree with the oracle. (Scaled-down version of
+    the 120-shape soak recorded in docs/PERF.md; exercises the
+    _block_position/scan_layout wrap math on 411/440/mixed samplings.)"""
+    from jpeg_decoder_tpu.io.parser import parse
+    from jpeg_decoder_tpu.models import encoder
+    from jpeg_decoder_tpu.utils.config import EncodeConfig
+
+    rng = np.random.default_rng(31337)
+    cfgs = {b: DecodeConfig(entropy_backend=b, use_device=False)
+            for b in BACKENDS}
+    for _ in range(10):
+        sub = str(rng.choice(["411", "440", "mixed", "422", "420"]))
+        h, w = int(rng.integers(17, 90)), int(rng.integers(17, 90))
+        ri = int(rng.choice([0, 1, 3]))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encoder.encode(
+            arr, EncodeConfig(quality=88, subsampling=sub, restart_interval=ri)
+        )
+        clean = {b: decoder.decode(data, c).rgb for b, c in cfgs.items()}
+        for b in BACKENDS[1:]:
+            assert (clean[b] == clean[BACKENDS[0]]).all(), (sub, h, w, ri, b)
+        span = parse(data).scans[0].span
+        bad = bytearray(data)
+        bad[int(rng.integers(span.start, span.end))] ^= 1 << int(
+            rng.integers(0, 8)
+        )
+        outs = []
+        for b, c in cfgs.items():
+            try:
+                outs.append(decoder.decode(bytes(bad), c).rgb)
+            except JpegError:
+                pass
+        for v in outs[1:]:
+            assert (v == outs[0]).all(), (sub, h, w, ri)
+
+
 @pytest.mark.parametrize(
     "backend", [EntropyBackend.DEVICE, EntropyBackend.PALLAS],
     ids=lambda b: b.value,
