@@ -48,6 +48,25 @@ def test_pallas_multilane(name, dri, plain):
         np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
 
 
+def test_pallas_multigroup():
+    """>128 segments engage the interleaved lane-group path (G >= 2): one
+    invocation decodes G*128 segments as independent latency-overlapped
+    chains. 325 one-MCU segments -> G=3 with a partially-filled group."""
+    from jpeg_decoder_tpu.models import encoder
+    from jpeg_decoder_tpu.utils.config import EncodeConfig
+
+    rng = np.random.default_rng(77)
+    arr = rng.integers(0, 256, (100, 200, 3), dtype=np.uint8)
+    data = encoder.encode(
+        arr, EncodeConfig(quality=90, subsampling="444", restart_interval=1)
+    )
+    s, want = _oracle_planes(data)
+    assert s.scans[0].span.num_segments > 2 * entropy_pallas.LANES
+    got, _ = entropy_pallas.entropy_decode(s, CFG)
+    for ci in range(s.frame.ncs):
+        np.testing.assert_array_equal(got.plane(ci), want.plane(ci))
+
+
 def test_pallas_exotic_sampling():
     for name, data, _arr in corpus.exotic_sampling_corpus()[:3]:
         s, want = _oracle_planes(data)
