@@ -47,10 +47,13 @@ removed, each ~-30-40%) show the per-symbol cost is spread evenly
 across three *latency* chains, and an ILP probe of a realistic ~40-op
 chain step measured 88 ns alone but 34 ns/chain with 4 independent
 chains interleaved — the VLIW schedule fills one chain's stalls with
-another's work. So the kernel decodes G (<= 4) independent 128-lane
+another's work. So the kernel decodes G (<= 8) independent 128-lane
 groups per grid step (G*128 segments per invocation), recovering
 ~1.7x of that headroom end-to-end (the window build and gathers scale
-linearly, diluting the pure-chain 2.6x). Within one group the
+linearly, diluting the pure-chain 2.6x). At ri=31 (1046 segments) one
+G=8 invocation decodes 1024 segments at 137 MP/s vs 92 MP/s for a
+G=4 half — past G~2 the per-group-round compute cost is ~flat
+(~21 us) and the remaining win is invocation/dispatch amortization. Within one group the
 lockstep floor stands: a value-resolved fast path cannot help because
 the worst lane's path bounds every step, and a 4x-unrolled AC loop
 measured SLOWER (overshoot plus unconditional restage). Throughput
@@ -664,8 +667,8 @@ def decode_scan_pallas(structure, scan, planes: CoefficientPlanes, cfg,
     n_segs = _check_segments(scan, total_mcus)
     ri = scan.restart_interval or total_mcus
     P = params.shape[0]
-    # worst case: 4 interleaved lane-groups per invocation (G below)
-    group_out_bytes = ri * P * 64 * LANES * 2 * 4
+    # worst case: 8 interleaved lane-groups per invocation (G below)
+    group_out_bytes = ri * P * 64 * LANES * 2 * 8
     if scan.restart_interval == 0 and total_mcus > 256:
         raise JpegUnsupportedError(
             "pallas entropy backend needs restart intervals (lockstep lanes"
@@ -712,7 +715,7 @@ def decode_scan_pallas(structure, scan, planes: CoefficientPlanes, cfg,
     # sequential invocations (measured 34 vs 88 ns/chain-step at G=4) —
     # and G-fold fewer dispatches matters on its own through the axon
     # tunnel (~30 ms each).
-    G = min(4, max(1, -(-n_segs // LANES)))
+    G = min(8, max(1, -(-n_segs // LANES)))
     per_inv = G * LANES
 
     for g0 in range(0, n_segs, per_inv):
