@@ -67,6 +67,7 @@ def _load():
         u16p = ctypes.POINTER(ctypes.c_uint16)
         i32pp = ctypes.POINTER(ctypes.c_int32)
         i16pp = ctypes.POINTER(ctypes.c_int16)
+        u64pp = ctypes.POINTER(ctypes.c_uint64)
         lib.jdt_decode_sequential.argtypes = [
             u8p,                                 # data
             ctypes.POINTER(ctypes.c_int64),      # seg_bounds
@@ -79,14 +80,18 @@ def _load():
             ctypes.POINTER(u16p),                # lut16s
             ctypes.POINTER(i32pp),               # vluts
             ctypes.POINTER(i32pp),               # pvluts
+            ctypes.POINTER(u64pp),               # vlut2s
             ctypes.c_int32,                      # n_luts
             ctypes.POINTER(i16pp),               # planes (int16 coeff IR)
             ctypes.c_int32,                      # n_threads
             ctypes.POINTER(ctypes.c_int64),      # err_out
         ]
+        # progressive: same prefix but WITHOUT the vlut2s slot (the
+        # pair table is sequential-AC-only), plus ss/se/ah/al.
         lib.jdt_decode_progressive.restype = ctypes.c_int32
         lib.jdt_decode_progressive.argtypes = (
-            lib.jdt_decode_sequential.argtypes[:13]
+            lib.jdt_decode_sequential.argtypes[:11]
+            + lib.jdt_decode_sequential.argtypes[12:14]
             + [ctypes.c_int32] * 4               # ss, se, ah, al
             + [ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
         )
@@ -101,6 +106,7 @@ def _load():
             ctypes.POINTER(u16p),                # lut12s
             ctypes.POINTER(u16p),                # lut16s
             ctypes.POINTER(i32pp),               # vluts
+            ctypes.POINTER(u64pp),               # vlut2s
             ctypes.c_int32,                      # n_luts
             ctypes.POINTER(i16pp),               # planes (int16 coeff IR)
             ctypes.c_int32,                      # n_threads
@@ -134,7 +140,7 @@ def _load():
             i64p, ctypes.c_int64,                  # rst_out, max_rst
             i64p,                                  # n_rst_out
         ]
-        if lib.jdt_version() != 5:
+        if lib.jdt_version() != 7:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -296,6 +302,10 @@ def _try_speculative(
     vluts = (i32p * len(luts))(
         *[lut.vlut.ctypes.data_as(i32p) for lut in luts]
     )
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    vlut2s = (u64p * len(luts))(
+        *[lut.vlut2.ctypes.data_as(u64p) for lut in luts]
+    )
     plane_ptrs = (i16p * frame.ncs)(
         *[planes.plane(i).ctypes.data_as(i16p) for i in range(frame.ncs)]
     )
@@ -309,6 +319,7 @@ def _try_speculative(
         lut12s,
         lut16s,
         vluts,
+        vlut2s,
         len(luts),
         plane_ptrs,
         cfg.num_threads,
@@ -365,6 +376,10 @@ def decode_scan_native_raw(
     pvluts = (i32p * len(luts))(
         *[lut.pvlut.ctypes.data_as(i32p) for lut in luts]
     )
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    vlut2s = (u64p * len(luts))(
+        *[lut.vlut2.ctypes.data_as(u64p) for lut in luts]
+    )
     params = np.ascontiguousarray(params, dtype=np.int32)
     plane_ptrs = (i16p * frame.ncs)(
         *[p.ctypes.data_as(i16p) for p in plane_arrays]
@@ -382,6 +397,7 @@ def decode_scan_native_raw(
         lut16s,
         vluts,
         pvluts,
+        vlut2s,
         len(luts),
         plane_ptrs,
         cfg.num_threads,
@@ -451,17 +467,20 @@ def decode_scan_native(
         lut16s,
         vluts,
         pvluts,
-        len(luts),
-        plane_ptrs,
     )
-    tail = (cfg.num_threads, err.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    tail = (len(luts), plane_ptrs, cfg.num_threads,
+            err.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if frame.process == Encoding.PROGRESSIVE_DCT:
         sh = scan.header
         rc = lib.jdt_decode_progressive(
-            *common, sh.ss, sh.se, sh.ah, sh.al, *tail
+            *common, *tail[:2], sh.ss, sh.se, sh.ah, sh.al, *tail[2:]
         )
     else:
-        rc = lib.jdt_decode_sequential(*common, *tail)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        vlut2s = (u64p * len(luts))(
+            *[lut.vlut2.ctypes.data_as(u64p) for lut in luts]
+        )
+        rc = lib.jdt_decode_sequential(*common, vlut2s, *tail)
     if rc != 0:
         raise JpegEntropyError(
             f"native entropy decode failed: {_STATUS.get(rc, rc)}"

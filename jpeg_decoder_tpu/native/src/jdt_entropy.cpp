@@ -183,12 +183,27 @@ struct HuffLut {
   //                 [25:22], CODE length in [21:16]; the r extension bits
   //                 are read after); coef values are raw (decoder applies
   //                 << al).
+  //   vlut2 [4096]  i64 — PAIR-resolved AC fast path: one 12-bit lookup
+  //                 resolves up to TWO complete coefficient symbols (the
+  //                 mean symbol is ~5 bits on high-entropy streams, so
+  //                 ~3/4 of adjacent pairs fit one window). Layout
+  //                 (core/huffman.build_flat_lut):
+  //                   [15:0]  val1 (int16)    [31:16] val2 (int16)
+  //                   [35:32] off1 = run1     [41:36] off2 = run1+1+run2
+  //                   [45:42] w1 (bits sym1)  [51:46] w (bits whole entry)
+  //                   [54:52] kind: 0 pair, 1 coef, 2 EOB, 3 ZRL, 4 slow,
+  //                                 5 coef+EOB
   const uint16_t* lut12 = nullptr;
   const uint16_t* lut16 = nullptr;
   const int32_t* vlut = nullptr;
   const int32_t* pvlut = nullptr;
+  const uint64_t* vlut2 = nullptr;
   enum { KIND_COEF = 0, KIND_EOB = 1, KIND_ZRL = 2, KIND_SLOW = 3 };
   enum { PKIND_COEF = 0, PKIND_EOBN = 1, PKIND_ZRL = 2, PKIND_SLOW = 3 };
+  enum {
+    K2_PAIR = 0, K2_COEF = 1, K2_EOB = 2, K2_ZRL = 3, K2_SLOW = 4,
+    K2_COEF_EOB = 5,
+  };
 
   inline int decode(BitReader& br, int32_t* sym) const {
     uint32_t idx = br.peek16();
@@ -253,37 +268,65 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
   }
   du[0] = static_cast<int16_t>(*pred);
 
-  // vlut entries are non-negative by construction (kind lives in bits
-  // 27:26), so INT32_MIN marks "refill / bounds check needed".
-  constexpr int32_t kNeedRefill = INT32_MIN;
+  // Sentinel for "refill / bounds check needed" (real entries keep bits
+  // 63:55 zero, so ~0 can never collide).
+  constexpr uint64_t kNeedRefill = ~0ull;
   int i = 1;
   while (i < 64) {
     br.fill();
-    // Drain consecutive coefficient hits from the buffered bits: each hit
-    // consumes <= 12 bits and peeks 12, so decode until fewer than 12
-    // valid bits remain — one fill() amortizes over several coefficients.
-    int32_t en;
+    // Drain the buffered bits through the PAIR-resolved table: each hit
+    // resolves one or two complete coefficient symbols in <= 12 bits, so
+    // decode until fewer than 12 valid bits remain — one fill() amortizes
+    // over several entries, each entry averaging ~1.8 symbols. The body is
+    // branchless for BOTH entry kinds: COEF entries duplicate their symbol
+    // into the val2/off2 slots (core/huffman.build_flat_lut), so the
+    // second store just rewrites the same coefficient and the only branch
+    // left is the rare exit (kind >= K2_EOB, i.e. bits 54:53 != 0, or a
+    // block boundary inside the entry) — measured ~19% faster than the
+    // per-kind dispatch on the 4K q85 stream (mispredicts dominate).
+    uint64_t en;
     for (;;) {
-      en = ac.vlut[static_cast<uint32_t>(br.buf >> 52)];
-      if (((en >> 26) & 3) != HuffLut::KIND_COEF) break;
-      i += (en >> 22) & 0x0F;
-      if (i > 63) return JDT_ERR_COEF_RANGE;
-      du[i] = static_cast<int16_t>(en & 0xFFFF);
-      br.consume((en >> 16) & 0x3F);
-      i++;
+      en = ac.vlut2[static_cast<uint32_t>(br.buf >> 52)];
+      int off2 = (en >> 36) & 63;
+      if ((((en >> 53) & 3) != 0) | (i + off2 > 63)) break;
+      du[i + ((en >> 32) & 15)] = static_cast<int16_t>(en & 0xFFFF);
+      du[i + off2] = static_cast<int16_t>((en >> 16) & 0xFFFF);
+      br.consume((en >> 46) & 63);
+      i += off2 + 1;
       if (i >= 64 || br.nbits < 12) {
         en = kNeedRefill;
         break;
       }
     }
     if (en == kNeedRefill) continue;
-    int kind = (en >> 26) & 3;
-    if (kind == HuffLut::KIND_EOB) {
-      br.consume((en >> 16) & 0x3F);
+    int kind = static_cast<int>(en >> 52) & 7;
+    if (kind <= HuffLut::K2_COEF) {
+      // Block boundary inside a PAIR/COEF entry: apply symbol 1 alone; the
+      // next iteration (or the next DU's DC decode) re-reads the following
+      // bits in their true context.
+      i += (en >> 32) & 15;
+      if (i > 63) return JDT_ERR_COEF_RANGE;
+      du[i] = static_cast<int16_t>(en & 0xFFFF);
+      br.consume((en >> 42) & 15);
+      i++;
+      continue;
+    }
+    if (kind == HuffLut::K2_COEF_EOB) {
+      // Final coefficient + EOB resolved in one window. A coefficient
+      // landing exactly at index 63 completes the block WITHOUT an EOB in
+      // the stream — consume only the coefficient's bits then.
+      i += (en >> 32) & 15;
+      if (i > 63) return JDT_ERR_COEF_RANGE;
+      du[i] = static_cast<int16_t>(en & 0xFFFF);
+      br.consume(i == 63 ? (en >> 42) & 15 : (en >> 46) & 63);
       break;
     }
-    if (kind == HuffLut::KIND_ZRL) {
-      br.consume((en >> 16) & 0x3F);
+    if (kind == HuffLut::K2_EOB) {
+      br.consume((en >> 46) & 63);
+      break;
+    }
+    if (kind == HuffLut::K2_ZRL) {
+      br.consume((en >> 46) & 63);
       i += 16;
       continue;
     }
@@ -554,7 +597,8 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
                           const uint16_t* const* lut12s,
                           const uint16_t* const* lut16s,
                           const int32_t* const* vluts,
-                          const int32_t* const* pvluts, int32_t n_luts,
+                          const int32_t* const* pvluts,
+                          const uint64_t* const* vlut2s, int32_t n_luts,
                           int16_t** planes) {
   ScanContext c;
   c.data = data;
@@ -570,7 +614,9 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
   }
   c.luts.resize(n_luts);
   for (int32_t t = 0; t < n_luts; t++)
-    c.luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t], pvluts[t]};
+    c.luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t],
+                        pvluts ? pvluts[t] : nullptr,
+                        vlut2s ? vlut2s[t] : nullptr};
   c.planes = planes;
   return c;
 }
@@ -962,7 +1008,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
 
 extern "C" {
 
-int32_t jdt_version() { return 5; }
+int32_t jdt_version() { return 7; }
 
 // Entropy-span prescan: find where a scan's entropy bytes end and every
 // in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),
@@ -1015,12 +1061,13 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
                               const uint16_t* const* lut16s,
                               const int32_t* const* vluts,
                               const int32_t* const* pvluts,
+                              const uint64_t* const* vlut2s,
                               int32_t n_luts, int16_t** planes,
                               int32_t n_threads, int64_t* err_out) {
   if (n_segs <= 0 || n_units <= 0 || n_luts <= 0) return JDT_ERR_BAD_ARG;
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
                                 unit_params, n_units, lut12s, lut16s, vluts,
-                                pvluts, n_luts, planes);
+                                pvluts, vlut2s, n_luts, planes);
   return run_segments(c, n_threads, err_out, decode_segment_sequential);
 }
 
@@ -1033,7 +1080,8 @@ int32_t jdt_decode_sequential_spec(
     const uint8_t* data, int64_t scan_start, int64_t scan_end,
     int64_t total_mcus, const int32_t* unit_params, int32_t n_units,
     const uint16_t* const* lut12s, const uint16_t* const* lut16s,
-    const int32_t* const* vluts, int32_t n_luts, int16_t** planes,
+    const int32_t* const* vluts, const uint64_t* const* vlut2s,
+    int32_t n_luts, int16_t** planes,
     int32_t n_threads) {
   if (total_mcus <= 0 || n_units <= 0 || n_units > 10 || n_luts <= 0)
     return JDT_ERR_BAD_ARG;
@@ -1045,7 +1093,8 @@ int32_t jdt_decode_sequential_spec(
   }
   std::vector<HuffLut> luts(n_luts);
   for (int32_t t = 0; t < n_luts; t++)
-    luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t], nullptr};
+    luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t], nullptr,
+                      vlut2s ? vlut2s[t] : nullptr};
   return decode_speculative(data, scan_start, scan_end, total_mcus, units,
                             luts, planes, n_threads);
 }
@@ -1064,7 +1113,7 @@ int32_t jdt_decode_progressive(const uint8_t* data, const int64_t* seg_bounds,
   if (n_segs <= 0 || n_units <= 0) return JDT_ERR_BAD_ARG;
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
                                 unit_params, n_units, lut12s, lut16s, vluts,
-                                pvluts, n_luts, planes);
+                                pvluts, nullptr, n_luts, planes);
   ProgParams pp{ss, se, ah, al};
   return run_segments(c, n_threads, err_out,
                       [&pp](const ScanContext& ctx, int64_t seg,
