@@ -591,6 +591,280 @@ int32_t run_segments(const ScanContext& c, int32_t n_threads, int64_t* err_out,
   return status.load();
 }
 
+// ---------------------------------------------------------------------------
+// Register-resident multi-stream decode (the DRI fast path).
+// Key ideas (Huff0-style multi-stream, adapted to JPEG restart segments):
+//   * each segment's entropy bytes are unstuffed ONCE into a padded
+//     scratch buffer, so the hot loop has no 0xFF handling at all;
+//   * the bit reader is STATELESS: a window is derived from (base, bitpos)
+//     by one clamped 8-byte load + bswap + shift, always >= 57 valid bits,
+//     so there is no fill() and no nbits bookkeeping;
+//   * per-stream hot state is just {bitpos, coef index, du, table ptr} —
+//     small enough that K streams live in registers and their dependent
+//     LUT-load chains overlap in the out-of-order window.
+// ---------------------------------------------------------------------------
+struct RegStream {
+  std::vector<uint8_t> buf;  // unstuffed bytes + 16 zero-pad
+  int64_t len = 0;           // unstuffed length (bits = 8*len)
+  int64_t seg = -1, mcu = 0, mcu_hi = 0;
+  int32_t unit = 0, scomp = 0;
+  int32_t preds[4];
+  const HuffLut* dc = nullptr;
+  const HuffLut* ac = nullptr;
+  int16_t* du = nullptr;
+  int16_t scratch_du[64];
+};
+
+// One clamped window load: >= 57 valid bits at bitpos (zero bits past the
+// unstuffed end — the pad provides them, the clamp bounds deep overruns).
+__attribute__((always_inline)) static inline uint64_t reg_win(
+    const uint8_t* b, int64_t len, int64_t bitpos) {
+  int64_t off = bitpos >> 3;
+  off = off < len ? off : len;
+  uint64_t v;
+  std::memcpy(&v, b + off, 8);
+  return __builtin_bswap64(v) << (bitpos & 7);
+}
+
+// Unstuff [lo, hi) into S.buf (segment bounds exclude markers, so every
+// 0xFF inside is followed by a stuffed 0x00 — guaranteed by the prescan).
+static void reg_unstuff(const uint8_t* lo, const uint8_t* hi, RegStream& S) {
+  size_t n = static_cast<size_t>(hi - lo);
+  S.buf.resize(n + 16);
+  uint8_t* out = S.buf.data();
+  size_t w = 0;
+  const uint8_t* p = lo;
+  while (p < hi) {
+    const uint8_t* ff = static_cast<const uint8_t*>(
+        std::memchr(p, 0xFF, static_cast<size_t>(hi - p)));
+    if (!ff) {
+      std::memcpy(out + w, p, static_cast<size_t>(hi - p));
+      w += static_cast<size_t>(hi - p);
+      break;
+    }
+    size_t span = static_cast<size_t>(ff - p) + 1;  // include the 0xFF
+    std::memcpy(out + w, p, span);
+    w += span;
+    p = ff + 1;
+    if (p < hi && *p == 0x00) p++;  // skip the stuffed zero
+  }
+  std::memset(out + w, 0, 16);
+  S.len = static_cast<int64_t>(w);
+}
+
+__attribute__((noinline)) static bool reg_advance(const ScanContext& c,
+                                                  RegStream& S) {
+  S.unit++;
+  if (S.unit >= (int32_t)c.units.size()) {
+    S.unit = 0;
+    S.mcu++;
+    if (S.mcu >= S.mcu_hi) return false;
+  }
+  const UnitLayout& ul = c.units[S.unit];
+  int64_t base = S.mcu * ul.h + ul.k;
+  int64_t bx = base % ul.wrap;
+  int64_t by = (base / ul.wrap) * ul.v + ul.j;
+  S.du = (by < ul.plane_bh && bx < ul.plane_bw)
+             ? c.planes[ul.plane] + (by * ul.plane_bw + bx) * 64
+             : S.scratch_du;
+  std::memset(S.du, 0, 64 * sizeof(int16_t));
+  S.dc = &c.luts[ul.dc_lut];
+  S.ac = &c.luts[ul.ac_lut];
+  S.scomp = ul.scomp;
+  return true;
+}
+
+static bool reg_init_segment(const ScanContext& c, RegStream& S,
+                             int64_t seg) {
+  S.seg = seg;
+  reg_unstuff(c.data + c.seg_bounds[2 * seg], c.data + c.seg_bounds[2 * seg + 1],
+              S);
+  S.preds[0] = S.preds[1] = S.preds[2] = S.preds[3] = 0;
+  int64_t mcu_lo = c.ri ? seg * c.ri : 0;
+  S.mcu_hi = c.ri ? std::min<int64_t>(mcu_lo + c.ri, c.total_mcus)
+                  : c.total_mcus;
+  S.mcu = mcu_lo - 1;
+  S.unit = (int32_t)c.units.size() - 1;
+  return reg_advance(c, S);
+}
+
+// One hot step for stream k. Hot state (bitpos bp, coef index ci, du
+// pointer, AC pair-table pointer) passed by reference so it stays in
+// registers across rounds. Returns 0 = alive, 1 = segment done, -rc error.
+__attribute__((always_inline)) static inline int reg_step(
+    const ScanContext& c, RegStream& S, const uint8_t* base, int64_t len,
+    int64_t& bp, int32_t& ci, int16_t*& du, const uint64_t*& vac) {
+  uint64_t w = reg_win(base, len, bp);
+  if (ci == 0) {  // DC: code (<=16) + magnitude (<=15) fit one window
+    uint32_t idx = static_cast<uint32_t>(w >> 48);
+    uint32_t e = S.dc->lut12[idx >> 4];
+    if (e == 0) {
+      e = S.dc->lut16[idx];
+      if ((e >> 8) == 0) return -JDT_ERR_BAD_CODE;
+    }
+    int s = e & 0xFF;
+    bp += e >> 8;
+    if (s > 15) return -JDT_ERR_COEF_RANGE;
+    if (s) {
+      int32_t v = static_cast<int32_t>((w << (e >> 8)) >> (64 - s));
+      bp += s;
+      S.preds[S.scomp] += extend(v, s);
+    }
+    du[0] = static_cast<int16_t>(S.preds[S.scomp]);
+    ci = 1;
+    return 0;
+  }
+  uint64_t en = vac[static_cast<uint32_t>(w >> 52)];
+  int off2 = (en >> 36) & 63;
+  if (((((en >> 53) & 3) != 0) | (ci + off2 > 63)) == 0) {
+    du[ci + ((en >> 32) & 15)] = static_cast<int16_t>(en & 0xFFFF);
+    du[ci + off2] = static_cast<int16_t>((en >> 16) & 0xFFFF);
+    bp += (en >> 46) & 63;
+    ci += off2 + 1;
+    if (ci < 64) return 0;
+    goto du_done;
+  }
+  {
+    int kind = static_cast<int>(en >> 52) & 7;
+    switch (kind) {
+      case HuffLut::K2_PAIR:
+      case HuffLut::K2_COEF: {
+        ci += (en >> 32) & 15;
+        if (ci > 63) return -JDT_ERR_COEF_RANGE;
+        du[ci] = static_cast<int16_t>(en & 0xFFFF);
+        bp += (en >> 42) & 15;
+        ci++;
+        if (ci < 64) return 0;
+        goto du_done;
+      }
+      case HuffLut::K2_COEF_EOB: {
+        ci += (en >> 32) & 15;
+        if (ci > 63) return -JDT_ERR_COEF_RANGE;
+        du[ci] = static_cast<int16_t>(en & 0xFFFF);
+        bp += ci == 63 ? (en >> 42) & 15 : (en >> 46) & 63;
+        goto du_done;
+      }
+      case HuffLut::K2_EOB:
+        bp += (en >> 46) & 63;
+        goto du_done;
+      case HuffLut::K2_ZRL:
+        bp += (en >> 46) & 63;
+        ci += 16;
+        if (ci < 64) return 0;
+        goto du_done;
+      default: {  // K2_SLOW: long code or long extend — one window is enough
+        uint32_t idx = static_cast<uint32_t>(w >> 48);
+        uint32_t e = S.ac->lut12[idx >> 4];
+        if (e == 0) {
+          e = S.ac->lut16[idx];
+          if ((e >> 8) == 0) return -JDT_ERR_BAD_CODE;
+        }
+        int sym = e & 0xFF;
+        ci += sym >> 4;
+        if (sym == 0x00) { bp += e >> 8; goto du_done; }
+        if (sym == 0xF0) {
+          bp += e >> 8;
+          ci += 1;
+          if (ci >= 64) goto du_done;
+          return 0;
+        }
+        if (ci > 63) return -JDT_ERR_COEF_RANGE;
+        int size = sym & 0x0F;
+        int32_t v = static_cast<int32_t>((w << (e >> 8)) >> (64 - size));
+        bp += (e >> 8) + size;
+        du[ci] = static_cast<int16_t>(extend(v, size));
+        ci++;
+        if (ci >= 64) goto du_done;
+        return 0;
+      }
+    }
+  }
+du_done:
+  // Truncation rule: consuming past the unstuffed end by more than the 7
+  // possible 1-fill alignment bits (same rule as BitReader.overran).
+  if (bp > 8 * len + 7) return -JDT_ERR_TRUNCATED;
+  if (!reg_advance(c, S)) return 1;
+  ci = 0;
+  du = S.du;
+  vac = S.ac->vlut2;
+  return 0;
+}
+
+template <int K>
+int32_t reg_run(const ScanContext& c, int32_t n_threads, int64_t* err_out) {
+  int64_t n = c.n_segs;
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  int workers = static_cast<int>(
+      std::min<int64_t>(n_threads, (n + K - 1) / K));
+  std::atomic<int64_t> next(0);
+  std::atomic<int32_t> status(JDT_OK);
+  std::atomic<int64_t> err_seg(-1), err_mcu_a(-1);
+  auto fail = [&](int32_t rc, int64_t seg, int64_t mcu) {
+    int32_t expected = JDT_OK;
+    if (status.compare_exchange_strong(expected, rc)) {
+      err_seg.store(seg);
+      err_mcu_a.store(mcu);
+    }
+  };
+  auto worker = [&]() {
+    RegStream st[K];
+    const uint8_t* base[K];
+    int64_t len[K];
+    int64_t bp[K];
+    int32_t ci[K];
+    int16_t* du[K];
+    const uint64_t* vac[K];
+    uint32_t livemask = 0;
+    auto grab = [&](int k) -> bool {
+      for (;;) {
+        int64_t s = next.fetch_add(1);
+        if (s >= n || status.load(std::memory_order_relaxed) != JDT_OK)
+          return false;
+        if (reg_init_segment(c, st[k], s)) {
+          base[k] = st[k].buf.data();
+          len[k] = st[k].len;
+          bp[k] = 0;
+          ci[k] = 0;
+          du[k] = st[k].du;
+          vac[k] = st[k].ac->vlut2;
+          return true;
+        }
+      }
+    };
+    for (int k = 0; k < K; k++)
+      if (grab(k)) livemask |= 1u << k;
+    int rounds = 0;
+    while (livemask) {
+#pragma GCC unroll 8
+      for (int k = 0; k < K; k++) {
+        if (!(livemask & (1u << k))) continue;
+        int r = reg_step(c, st[k], base[k], len[k], bp[k], ci[k], du[k],
+                         vac[k]);
+        if (__builtin_expect(r != 0, 0)) {
+          if (r < 0) {
+            fail(static_cast<int32_t>(-r), st[k].seg, st[k].mcu);
+            return;
+          }
+          if (!grab(k)) livemask &= ~(1u << k);
+        }
+      }
+      if (((++rounds) & 1023) == 0 &&
+          status.load(std::memory_order_relaxed) != JDT_OK)
+        return;
+    }
+  };
+  if (workers <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < workers; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  err_out[0] = err_seg.load();
+  err_out[1] = err_mcu_a.load();
+  return status.load();
+}
+
 ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
                           int64_t n_segs, int64_t total_mcus, int64_t ri,
                           const int32_t* unit_params, int32_t n_units,
@@ -1068,6 +1342,12 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
                                 unit_params, n_units, lut12s, lut16s, vluts,
                                 pvluts, vlut2s, n_luts, planes);
+  // Multi-segment scans take the register-resident multi-stream path: 4
+  // interleaved streams per worker overlap their dependent LUT-load chains
+  // (34 ms vs 67 ms single-thread on the 4K q85 microbench). A single
+  // segment has no second stream to interleave — the BitReader drain loop
+  // is faster there (67 ms vs 81 ms).
+  if (n_segs >= 2) return reg_run<4>(c, n_threads, err_out);
   return run_segments(c, n_threads, err_out, decode_segment_sequential);
 }
 
