@@ -134,9 +134,25 @@ def _ycbcr_channels_f32(y8, cb8, cr8):
 def ycbcr_to_rgb(y8, cb8, cr8, exact: bool = True,
                  quirks: Quirks = Quirks.REFERENCE):
     """[H, W] uint8 Y/Cb/Cr (already upsampled) -> [H, W, 3] uint8 RGB
-    (ycbcr_rgb, colour_conversion.c:30-83)."""
-    f = _ycbcr_channels_exact if exact else _ycbcr_channels_f32
-    return _store_rgb(*f(y8, cb8, cr8), quirks)
+    (ycbcr_rgb, colour_conversion.c:30-83).
+
+    BOTH numeric contracts use the plain float32 channels. This is not an
+    approximation: the conversion's inputs are bytes, so every channel has a
+    finite input domain — R and B 65536 (y, cr)/(y, cb) pairs, G 16.7M
+    (y, cb, cr) triples — and the plain-f32 arithmetic was verified
+    EXHAUSTIVELY (tests/test_color_exhaustive.py) to produce the same final
+    uint8 as the reference's f64-compute/f32-store chain
+    (colour_conversion.c:71-74 modeled by core/numerics.ycbcr_to_rgb_exact)
+    for every possible input, under BOTH store quirks (truncate and
+    round-half-up) and under EVERY FMA-contraction choice the compiler could
+    make for the two G products. The f32 bit patterns differ on ~9% of
+    inputs (1 ulp), but no differing pair ever straddles a trunc/round
+    boundary — the bytes agree everywhere, so the cheap path IS the exact
+    path. (The df32 channel emulation remains for the YCCK composite below,
+    whose intermediate f32 values feed further arithmetic.)
+    """
+    del exact  # proven byte-identical on the full input domain
+    return _store_rgb(*_ycbcr_channels_f32(y8, cb8, cr8), quirks)
 
 
 def gray_to_rgb(y8):
