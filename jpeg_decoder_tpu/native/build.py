@@ -77,9 +77,14 @@ def build(force: bool = False) -> Path | None:
         tmp.unlink(missing_ok=True)
         return None
     os.replace(tmp, out)
-    # Drop stale builds.
+    # Drop stale HASH-NAMED builds only: the sanitizer pass
+    # (tests/tools/sanitize.sh) parks libjdt-asan.so / libjdt-tsan.so in
+    # the same directory, and a concurrent production rebuild must not
+    # delete them mid-suite.
+    import re
+
     for old in BUILD_DIR.glob("libjdt-*.so"):
-        if old != out:
+        if old != out and re.fullmatch(r"libjdt-[0-9a-f]{16}\.so", old.name):
             try:
                 old.unlink()
             except OSError:

@@ -139,8 +139,9 @@ def _load():
             i64p,                                  # end_out
             i64p, ctypes.c_int64,                  # rst_out, max_rst
             i64p,                                  # n_rst_out
+            ctypes.c_int32,                        # n_threads
         ]
-        if lib.jdt_version() != 7:
+        if lib.jdt_version() != 8:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -512,6 +513,7 @@ def scan_span(data: np.ndarray, start: int):
         rst.ctypes.data_as(i64p),
         _SCAN_RST_CAP,
         ctypes.byref(n_rst),
+        0,  # n_threads: 0 = all cores (pooled; large spans only)
     )
     if rc != 0:
         return None  # more restarts than the cap: NumPy path handles it

@@ -32,6 +32,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <condition_variable>
+#include <functional>
 #include <thread>
 #include <chrono>
 #include <vector>
@@ -163,6 +165,87 @@ inline int32_t extend(int32_t v, int n) {
   if (n == 0) return 0;
   if (v < (1 << (n - 1))) return v - (1 << n) + 1;
   return v;
+}
+
+// ---------------------------------------------------------------------------
+// Persistent worker pool. Per-image decode previously spawned and joined
+// fresh std::threads per scan (~50-100 us each); steady-state serving pays
+// that on every image. The pool keeps (hardware_concurrency - 1) helpers
+// parked on a condvar; run(n, fn) executes fn(0..n-1) with the CALLER
+// running slot 0 and helpers picking up the rest. Concurrent run() calls
+// (decode_stream can overlap host decodes) serialize on run_mutex_ — they
+// would contend for the same cores anyway.
+// ---------------------------------------------------------------------------
+class WorkPool {
+ public:
+  static WorkPool& inst() {
+    // Intentionally never destroyed: helpers are parked on cv_ at process
+    // exit and destroying the mutex under them is UB. The static pointer
+    // keeps the object reachable, so leak checkers stay quiet.
+    static WorkPool* p = new WorkPool();
+    return *p;
+  }
+
+  void run(int n, const std::function<void(int)>& fn) {
+    if (n <= 1) {
+      fn(0);
+      return;
+    }
+    std::lock_guard<std::mutex> run_lk(run_mutex_);
+    ensure(n - 1);
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      fn_ = &fn;
+      want_ = n - 1;
+      done_ = 0;
+      epoch_++;
+    }
+    cv_.notify_all();
+    fn(0);
+    std::unique_lock<std::mutex> lk(m_);
+    cv_done_.wait(lk, [&] { return done_ == want_; });
+    fn_ = nullptr;
+  }
+
+ private:
+  void ensure(int k) {
+    while (static_cast<int>(n_threads_) < k) {
+      int slot = ++n_threads_;
+      std::thread([this, slot] { loop(slot); }).detach();
+    }
+  }
+
+  void loop(int slot) {
+    uint64_t seen = 0;
+    for (;;) {
+      const std::function<void(int)>* f = nullptr;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] { return epoch_ != seen; });
+        seen = epoch_;
+        if (slot <= want_) f = fn_;
+      }
+      if (f) {
+        (*f)(slot);
+        std::lock_guard<std::mutex> lk(m_);
+        if (++done_ == want_) cv_done_.notify_one();
+      }
+    }
+  }
+
+  std::mutex run_mutex_;  // serializes concurrent run() callers
+  std::mutex m_;
+  std::condition_variable cv_, cv_done_;
+  const std::function<void(int)>* fn_ = nullptr;
+  int want_ = 0;
+  int done_ = 0;
+  uint64_t epoch_ = 0;
+  int n_threads_ = 0;
+};
+
+// Run fn on `workers` slots via the persistent pool (slot 0 = caller).
+inline void pool_run(int workers, const std::function<void(int)>& fn) {
+  WorkPool::inst().run(workers, fn);
 }
 
 struct HuffLut {
@@ -583,9 +666,7 @@ int32_t run_segments(const ScanContext& c, int32_t n_threads, int64_t* err_out,
       }
     }
   };
-  std::vector<std::thread> pool;
-  for (int t = 0; t < workers; t++) pool.emplace_back(worker);
-  for (auto& t : pool) t.join();
+  pool_run(workers, [&](int) { worker(); });
   err_out[0] = err_seg.load();
   err_out[1] = err_mcu_a.load();
   return status.load();
@@ -856,9 +937,7 @@ int32_t reg_run(const ScanContext& c, int32_t n_threads, int64_t* err_out) {
   if (workers <= 1) {
     worker();
   } else {
-    std::vector<std::thread> pool;
-    for (int t = 0; t < workers; t++) pool.emplace_back(worker);
-    for (auto& t : pool) t.join();
+    pool_run(workers, [&](int) { worker(); });
   }
   err_out[0] = err_seg.load();
   err_out[1] = err_mcu_a.load();
@@ -1098,17 +1177,15 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   const bool dbg = std::getenv("JDT_DEBUG") != nullptr;
   auto t_setup = std::chrono::steady_clock::now();
   std::vector<SpecChunk> chunks(k);
-  std::vector<std::thread> pool;
-  for (int t = 0; t < k; t++) {
+  pool_run(k, [&](int t) {
     int64_t stop = (t + 1 < k)
                        ? chunk_bits[t + 1] + kOverrunBits
                        : std::numeric_limits<int64_t>::max();
-    pool.emplace_back(speculative_worker, data, scan_start, chunk_byte[t],
-                      scan_end, chunk_bits[t], stop, total_dus + P * 16,
-                      total_dus / k + 4096, &units, &luts, t == 0,
-                      t == 0 ? planes : nullptr, &chunks[t]);
-  }
-  for (auto& th : pool) th.join();
+    speculative_worker(data, scan_start, chunk_byte[t], scan_end,
+                       chunk_bits[t], stop, total_dus + P * 16,
+                       total_dus / k + 4096, &units, &luts, t == 0,
+                       t == 0 ? planes : nullptr, &chunks[t]);
+  });
   auto t_workers = std::chrono::steady_clock::now();
 
   if (dbg) {
@@ -1213,24 +1290,20 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
     // of k tiny vectors — the only serial dependence between chunks.
     std::vector<std::array<int32_t, 4>> sums(k, {0, 0, 0, 0});
     {
-      std::vector<std::thread> tpool;
       int64_t idx0 = 0;
       std::vector<int64_t> idx_start(k);
       for (int t = 0; t < k; t++) {
         idx_start[t] = idx0;
         idx0 += last_valid[t] - first_valid[t];
       }
-      auto sum_chunk = [&](int t) {
+      pool_run(k, [&](int t) {
         const int32_t* dcs = chunks[t].dcs.data();
         int64_t idx = idx_start[t];
         std::array<int32_t, 4> acc = {0, 0, 0, 0};
         for (int64_t j = first_valid[t]; j < last_valid[t]; j++, idx++)
           acc[units[idx % P].scomp] += dcs[j];
         sums[t] = acc;
-      };
-      for (int t = 1; t < k; t++) tpool.emplace_back(sum_chunk, t);
-      sum_chunk(0);
-      for (auto& th : tpool) th.join();
+      });
     }
     int64_t idx = 0;
     std::array<int32_t, 4> preds = {0, 0, 0, 0};
@@ -1262,10 +1335,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   };
   // Chunk 0 already decoded directly into the planes; scatter the rest.
   auto t_stitch = std::chrono::steady_clock::now();
-  std::vector<std::thread> spool;
-  for (int t = 2; t < k; t++) spool.emplace_back(scatter, t);
-  scatter(1);
-  for (auto& th : spool) th.join();
+  pool_run(k - 1, [&](int slot) { scatter(slot + 1); });
   if (dbg) {
     auto t_done = std::chrono::steady_clock::now();
     auto ms = [](auto a, auto b) {
@@ -1282,7 +1352,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
 
 extern "C" {
 
-int32_t jdt_version() { return 7; }
+int32_t jdt_version() { return 8; }
 
 // Entropy-span prescan: find where a scan's entropy bytes end and every
 // in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),
@@ -1293,35 +1363,75 @@ int32_t jdt_version() { return 7; }
 // more than max_rst restart markers were found (caller falls back).
 int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
                       int64_t* end_out, int64_t* rst_out, int64_t max_rst,
-                      int64_t* n_rst_out) {
-  int64_t i = start;
+                      int64_t* n_rst_out, int32_t n_threads) {
+  // 0xFF classification is LOCAL (each 0xFF is judged by its next byte),
+  // so the walk parallelizes by byte chunks: the only boundary hazard is a
+  // pair straddling a chunk edge, resolved by one look-back byte (a chunk
+  // whose predecessor ends in a consumed 0xFF skips its first byte). Large
+  // single-scan spans split across the worker pool; small/multi-scan spans
+  // (where chunks past this scan's end would re-scan the next scan's
+  // bytes) stay serial.
+  int64_t span = n - start;
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  int C = 1;
+  if (span > (1 << 20))
+    C = static_cast<int>(
+        std::min<int64_t>(n_threads, span >> 19));  // >= 512 KiB per chunk
+  struct ChunkRes {
+    std::vector<int64_t> rst;
+    int64_t end = -1;  // -1: no terminator in this chunk
+  };
+  std::vector<int64_t> cb(C + 1);
+  for (int t = 0; t <= C; t++) cb[t] = start + span * t / C;
+  std::vector<ChunkRes> res(C);
+  auto scan_chunk = [&](int t) {
+    int64_t i = cb[t];
+    const int64_t lim = cb[t + 1];
+    // Boundary fix: if the previous chunk's last byte is an 0xFF that
+    // consumed this chunk's first byte (stuffing or RSTn second byte),
+    // skip it; an 0xFF fill byte consumes nothing.
+    if (t > 0 && data[i - 1] == 0xFF && data[i] != 0xFF) i++;
+    ChunkRes& r = res[t];
+    while (i < lim) {
+      const void* hit = std::memchr(data + i, 0xFF, lim - i);
+      if (hit == nullptr) break;
+      i = static_cast<const uint8_t*>(hit) - data;
+      if (i + 1 >= n) {  // trailing 0xFF at EOF terminates the scan
+        r.end = i;
+        break;
+      }
+      uint8_t nxt = data[i + 1];
+      if (nxt == 0x00) {
+        i += 2;  // stuffed
+      } else if (nxt >= 0xD0 && nxt <= 0xD7) {
+        r.rst.push_back(i);
+        i += 2;
+      } else if (nxt == 0xFF) {
+        i += 1;  // fill byte: re-examine from the next 0xFF
+      } else {
+        r.end = i;
+        break;
+      }
+    }
+  };
+  if (C <= 1) {
+    scan_chunk(0);
+  } else {
+    pool_run(C, scan_chunk);
+  }
+  int64_t end = n;
   int64_t nr = 0;
-  *end_out = n;
-  while (i < n) {
-    const void* hit = std::memchr(data + i, 0xFF, n - i);
-    if (hit == nullptr) {
-      *end_out = n;
-      break;
-    }
-    i = static_cast<const uint8_t*>(hit) - data;
-    if (i + 1 >= n) {  // trailing 0xFF at EOF terminates the scan
-      *end_out = i;
-      break;
-    }
-    uint8_t nxt = data[i + 1];
-    if (nxt == 0x00) {
-      i += 2;  // stuffed
-    } else if (nxt >= 0xD0 && nxt <= 0xD7) {
-      if (nr < max_rst) rst_out[nr] = i;
+  for (int t = 0; t < C; t++) {
+    for (int64_t v : res[t].rst) {
+      if (nr < max_rst) rst_out[nr] = v;
       nr++;
-      i += 2;
-    } else if (nxt == 0xFF) {
-      i += 1;  // fill byte: re-examine from the next 0xFF
-    } else {
-      *end_out = i;
-      break;
+    }
+    if (res[t].end >= 0) {
+      end = res[t].end;
+      break;  // later chunks scanned past this scan's end: discard
     }
   }
+  *end_out = end;
   *n_rst_out = nr;
   return nr > max_rst ? 1 : 0;
 }
