@@ -684,6 +684,8 @@ int32_t run_segments(const ScanContext& c, int32_t n_threads, int64_t* err_out,
 //     small enough that K streams live in registers and their dependent
 //     LUT-load chains overlap in the out-of-order window.
 // ---------------------------------------------------------------------------
+constexpr int kRegMaxUnits = 10;  // JPEG A.2.4: sum of hsf*vsf per scan <= 10
+
 struct RegStream {
   std::vector<uint8_t> buf;  // unstuffed bytes + 16 zero-pad
   int64_t len = 0;           // unstuffed length (bits = 8*len)
@@ -693,6 +695,11 @@ struct RegStream {
   const HuffLut* dc = nullptr;
   const HuffLut* ac = nullptr;
   int16_t* du = nullptr;
+  // Incrementally-maintained block coordinates per unit-in-MCU (avoids the
+  // 64-bit div/mod of `base % wrap` on every data unit): for unit u at MCU
+  // m, ubx/uby equal ((m*h+k) % wrap, (m*h+k)/wrap*v + j).
+  int32_t ubx[kRegMaxUnits];
+  int32_t uby[kRegMaxUnits];
   int16_t scratch_du[64];
 };
 
@@ -733,6 +740,21 @@ static void reg_unstuff(const uint8_t* lo, const uint8_t* hi, RegStream& S) {
   S.len = static_cast<int64_t>(w);
 }
 
+// Point S.du/dc/ac/scomp at the current (mcu, unit) using the
+// incrementally-maintained coordinates.
+static inline void reg_set_du(const ScanContext& c, RegStream& S) {
+  const UnitLayout& ul = c.units[S.unit];
+  int32_t bx = S.ubx[S.unit];
+  int32_t by = S.uby[S.unit];
+  S.du = (by < ul.plane_bh && bx < ul.plane_bw)
+             ? c.planes[ul.plane] + ((int64_t)by * ul.plane_bw + bx) * 64
+             : S.scratch_du;
+  std::memset(S.du, 0, 64 * sizeof(int16_t));
+  S.dc = &c.luts[ul.dc_lut];
+  S.ac = &c.luts[ul.ac_lut];
+  S.scomp = ul.scomp;
+}
+
 __attribute__((noinline)) static bool reg_advance(const ScanContext& c,
                                                   RegStream& S) {
   S.unit++;
@@ -740,18 +762,19 @@ __attribute__((noinline)) static bool reg_advance(const ScanContext& c,
     S.unit = 0;
     S.mcu++;
     if (S.mcu >= S.mcu_hi) return false;
+    // One MCU step: each unit's column advances by its h; each wrap of the
+    // block-column width drops it one block row (v). The loop runs >1 time
+    // only when wrap < h (plane narrower than one MCU).
+    for (int32_t u = 0; u < (int32_t)c.units.size(); u++) {
+      const UnitLayout& ul = c.units[u];
+      S.ubx[u] += ul.h;
+      while (S.ubx[u] >= ul.wrap) {
+        S.ubx[u] -= ul.wrap;
+        S.uby[u] += ul.v;
+      }
+    }
   }
-  const UnitLayout& ul = c.units[S.unit];
-  int64_t base = S.mcu * ul.h + ul.k;
-  int64_t bx = base % ul.wrap;
-  int64_t by = (base / ul.wrap) * ul.v + ul.j;
-  S.du = (by < ul.plane_bh && bx < ul.plane_bw)
-             ? c.planes[ul.plane] + (by * ul.plane_bw + bx) * 64
-             : S.scratch_du;
-  std::memset(S.du, 0, 64 * sizeof(int16_t));
-  S.dc = &c.luts[ul.dc_lut];
-  S.ac = &c.luts[ul.ac_lut];
-  S.scomp = ul.scomp;
+  reg_set_du(c, S);
   return true;
 }
 
@@ -764,9 +787,17 @@ static bool reg_init_segment(const ScanContext& c, RegStream& S,
   int64_t mcu_lo = c.ri ? seg * c.ri : 0;
   S.mcu_hi = c.ri ? std::min<int64_t>(mcu_lo + c.ri, c.total_mcus)
                   : c.total_mcus;
-  S.mcu = mcu_lo - 1;
-  S.unit = (int32_t)c.units.size() - 1;
-  return reg_advance(c, S);
+  if (mcu_lo >= S.mcu_hi) return false;
+  S.mcu = mcu_lo;
+  S.unit = 0;
+  for (int32_t u = 0; u < (int32_t)c.units.size(); u++) {
+    const UnitLayout& ul = c.units[u];
+    int64_t base = mcu_lo * ul.h + ul.k;
+    S.ubx[u] = (int32_t)(base % ul.wrap);
+    S.uby[u] = (int32_t)((base / ul.wrap) * ul.v + ul.j);
+  }
+  reg_set_du(c, S);
+  return true;
 }
 
 // One hot step for stream k. Hot state (bitpos bp, coef index ci, du
@@ -1457,7 +1488,20 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
   // (34 ms vs 67 ms single-thread on the 4K q85 microbench). A single
   // segment has no second stream to interleave — the BitReader drain loop
   // is faster there (67 ms vs 81 ms).
-  if (n_segs >= 2) return reg_run<4>(c, n_threads, err_out);
+  if (n_segs >= 2 && n_units <= kRegMaxUnits) {
+    // JDT_REG_K: experiment hook for the streams-per-worker sweep.
+    if (const char* e = std::getenv("JDT_REG_K")) {
+      switch (std::atoi(e)) {
+        case 2: return reg_run<2>(c, n_threads, err_out);
+        case 3: return reg_run<3>(c, n_threads, err_out);
+        case 5: return reg_run<5>(c, n_threads, err_out);
+        case 6: return reg_run<6>(c, n_threads, err_out);
+        case 8: return reg_run<8>(c, n_threads, err_out);
+        default: break;
+      }
+    }
+    return reg_run<4>(c, n_threads, err_out);
+  }
   return run_segments(c, n_threads, err_out, decode_segment_sequential);
 }
 
