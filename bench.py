@@ -102,15 +102,17 @@ def main() -> None:
     structure = parse(data, cfg)
     planes, qts = decoder_mod._entropy_decode(structure, cfg)  # warm
     t_host = []
-    for _ in range(11):
+    for _ in range(21):
         t0 = time.perf_counter()
         structure = parse(data, cfg)
         p = pool.acquire(structure)
         planes, qts = decoder_mod._entropy_decode(structure, cfg, p)
         t_host.append(time.perf_counter() - t0)
         pool.release(planes)
-    # Median over 11 runs: comparable with the baseline and prior rounds
+    # Median over 21 runs: comparable with the baseline and prior rounds
     # (all medians); the shared-host noise band is reported alongside.
+    # The sample is sized for the shared VM's bursty tenancy noise
+    # (p25-p75 spans ~2 ms on a bad day).
     t_host_m = float(np.median(t_host))
     log(f"host stage noise band: p25={np.percentile(t_host, 25)*1e3:.1f} "
         f"p75={np.percentile(t_host, 75)*1e3:.1f} ms")

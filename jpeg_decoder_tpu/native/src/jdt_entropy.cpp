@@ -686,6 +686,11 @@ int32_t run_segments(const ScanContext& c, int32_t n_threads, int64_t* err_out,
 // ---------------------------------------------------------------------------
 constexpr int kRegMaxUnits = 10;  // JPEG A.2.4: sum of hsf*vsf per scan <= 10
 
+// Zero pad past the unstuffed segment so the window loader needs no bounds
+// clamp: one DU between truncation checks runs <= 64 probes x <= 32 bits
+// = 256 bytes of possible overrun, +8 for the 64-bit load, rounded up.
+constexpr int kRegPad = 272;
+
 struct RegStream {
   std::vector<uint8_t> buf;  // unstuffed bytes + 16 zero-pad
   int64_t len = 0;           // unstuffed length (bits = 8*len)
@@ -705,12 +710,14 @@ struct RegStream {
 
 // One clamped window load: >= 57 valid bits at bitpos (zero bits past the
 // unstuffed end — the pad provides them, the clamp bounds deep overruns).
+// No clamp on the critical bitpos->window->probe chain: between du_done
+// truncation checks (bp <= 8*len+7) a DU runs at most 64 probes of <= 32
+// bits each, so bitpos overruns the unstuffed end by < 2048 bits — the
+// kRegPad zero bytes cover every reachable read.
 __attribute__((always_inline)) static inline uint64_t reg_win(
-    const uint8_t* b, int64_t len, int64_t bitpos) {
-  int64_t off = bitpos >> 3;
-  off = off < len ? off : len;
+    const uint8_t* b, int64_t bitpos) {
   uint64_t v;
-  std::memcpy(&v, b + off, 8);
+  std::memcpy(&v, b + (bitpos >> 3), 8);
   return __builtin_bswap64(v) << (bitpos & 7);
 }
 
@@ -718,7 +725,7 @@ __attribute__((always_inline)) static inline uint64_t reg_win(
 // 0xFF inside is followed by a stuffed 0x00 — guaranteed by the prescan).
 static void reg_unstuff(const uint8_t* lo, const uint8_t* hi, RegStream& S) {
   size_t n = static_cast<size_t>(hi - lo);
-  S.buf.resize(n + 16);
+  S.buf.resize(n + kRegPad);
   uint8_t* out = S.buf.data();
   size_t w = 0;
   const uint8_t* p = lo;
@@ -736,7 +743,7 @@ static void reg_unstuff(const uint8_t* lo, const uint8_t* hi, RegStream& S) {
     p = ff + 1;
     if (p < hi && *p == 0x00) p++;  // skip the stuffed zero
   }
-  std::memset(out + w, 0, 16);
+  std::memset(out + w, 0, kRegPad);
   S.len = static_cast<int64_t>(w);
 }
 
@@ -806,7 +813,7 @@ static bool reg_init_segment(const ScanContext& c, RegStream& S,
 __attribute__((always_inline)) static inline int reg_step(
     const ScanContext& c, RegStream& S, const uint8_t* base, int64_t len,
     int64_t& bp, int32_t& ci, int16_t*& du, const uint64_t*& vac) {
-  uint64_t w = reg_win(base, len, bp);
+  uint64_t w = reg_win(base, bp);
   if (ci == 0) {  // DC: code (<=16) + magnitude (<=15) fit one window
     uint32_t idx = static_cast<uint32_t>(w >> 48);
     uint32_t e = S.dc->lut12[idx >> 4];
