@@ -127,3 +127,61 @@ def test_native_scan_span_matches_numpy(rng):
             want_end, want_rst = bs.scan_entropy_span(data, start)
         assert native[0] == want_end, f"trial {trial}: end differs"
         np.testing.assert_array_equal(native[1], want_rst)
+
+
+def test_native_truncated_segments_agree_with_numpy(rng):
+    """Truncation contract on the register-resident multi-stream path:
+    a cut stream must surface as a structured JpegError or decode under
+    the same <=7-alignment-bit tolerance as every other fast backend
+    (FastBitReader.overran / BitReader::overran — the C reference's final
+    byte may carry up to 7 pad bits) — never crash or silently diverge.
+    Exercises the unclamped window loads (jdt_entropy.cpp reg_win):
+    past-end reads land in the kRegPad zero pad and the du_done rule
+    (bp > 8*len+7) must classify every cut point exactly like the NumPy
+    backend. (The ORACLE is stricter by design: it raises on any read
+    past the end, so a cut at a cheap final data unit can be oracle-error
+    but fast-backend-ok.)"""
+    from jpeg_decoder_tpu.io.parser import parse
+    from jpeg_decoder_tpu.utils.errors import JpegError
+
+    np_cfg = DecodeConfig(entropy_backend=EntropyBackend.NUMPY)
+
+    def run(data, cfg):
+        try:
+            s = parse(data)
+        except JpegError:
+            return "parse-error", None
+        if cfg is np_cfg:
+            from jpeg_decoder_tpu.core import entropy_np
+
+            try:
+                planes, _ = entropy_np.entropy_decode(s, cfg)
+            except JpegError:
+                return "error", None
+            return "ok", planes
+        try:
+            planes, _ = native_runtime.entropy_decode(s, cfg)
+        except JpegError:
+            return "error", None
+        return "ok", planes
+
+    for name, dri, _plain in corpus.dri_corpus()[:3]:
+        soi = bytes(dri)
+        sos = soi.find(b"\xff\xda")
+        assert sos > 0
+        for frac in (0.3, 0.5, 0.7, 0.9, 0.99):
+            cut = sos + 20 + int((len(soi) - sos - 20) * frac)
+            bad = soi[:cut]
+            got_status, got = run(bad, NATIVE_CFG)
+            want_status, want = run(bad, np_cfg)
+            assert got_status == want_status, (
+                f"{name} cut@{frac}: native {got_status} vs numpy"
+                f" {want_status}"
+            )
+            if got_status == "ok":
+                s = parse(bad)
+                for ci in range(s.frame.ncs):
+                    np.testing.assert_array_equal(
+                        got.plane(ci), want.plane(ci),
+                        err_msg=f"{name} cut@{frac} comp {ci}",
+                    )
