@@ -253,6 +253,15 @@ def ycbcr_to_rgb_exact(
     double-precision constants 1.402 / 0.34414 / 0.71414 / 1.772, float32
     storage of R/G/B, NN chroma upsample."""
     y8, cb8, cr8 = _ycc_channels(frame, planes)
+    return ycbcr_channels_to_rgb(y8, cb8, cr8, quirks)
+
+
+def ycbcr_channels_to_rgb(
+    y8: np.ndarray, cb8: np.ndarray, cr8: np.ndarray,
+    quirks: Quirks = Quirks.REFERENCE,
+) -> np.ndarray:
+    """The arithmetic half of ycbcr_to_rgb_exact, on already full-resolution
+    channels (used by the host fancy-upsample path, models/decoder.py)."""
     y = y8.astype(F64)
     cb = cb8.astype(F64) - 128.0
     cr = cr8.astype(F64) - 128.0
@@ -280,10 +289,19 @@ def ycck_to_rgb_exact(
         chans.append(
             _sample_plane_nn(planes[ci], c.stride, w, h, c.hsf, c.vsf, mh, mv)
         )
-    y = chans[0].astype(F64)
-    cb = chans[1].astype(F64) - 128.0
-    cr = chans[2].astype(F64) - 128.0
-    k = chans[3].astype(F64)
+    return ycck_channels_to_rgb(chans[0], chans[1], chans[2], chans[3], quirks)
+
+
+def ycck_channels_to_rgb(
+    y8: np.ndarray, cb8: np.ndarray, cr8: np.ndarray, k8: np.ndarray,
+    quirks: Quirks = Quirks.REFERENCE,
+) -> np.ndarray:
+    """The arithmetic half of ycck_to_rgb_exact, on already full-resolution
+    channels (used by the host fancy-upsample path, models/decoder.py)."""
+    y = y8.astype(F64)
+    cb = cb8.astype(F64) - 128.0
+    cr = cr8.astype(F64) - 128.0
+    k = k8.astype(F64)
     # float C/M/Y stored to float32 (colour_conversion.c:137-141)
     c_ = _f32(y + 1.402 * cr).astype(F64)
     m_ = _f32(y - 0.34414 * cb - 0.71414 * cr).astype(F64)

@@ -433,6 +433,37 @@ def pixels_from_coeffs(
     return out
 
 
+def fancy_upsample_np(
+    plane: np.ndarray, hsf: int, vsf: int, max_hsf: int, max_vsf: int
+) -> np.ndarray:
+    """NumPy mirror of ops/color.fancy_upsample's triangular 2x passes
+    (libjpeg convention) for the no-JAX host fallback. Bit-compatible with
+    the device version: every intermediate is an integer sum < 2**14
+    scaled by an exact power of two, so f32 vs f64 cannot change the final
+    floor. Non-2x ratios are left to color_convert's NN gather."""
+    x = plane.astype(np.float64)
+    if 2 * hsf == max_hsf:
+        left = np.roll(x, 1, axis=1)
+        left[:, 0] = x[:, 0]
+        right = np.roll(x, -1, axis=1)
+        right[:, -1] = x[:, -1]
+        even = (3.0 * x + left + 1.0) * 0.25
+        odd = (3.0 * x + right + 2.0) * 0.25
+        x = np.stack([even, odd], axis=2).reshape(x.shape[0], -1)
+    if 2 * vsf == max_vsf:
+        up = np.roll(x, 1, axis=0)
+        up[0] = x[0]
+        down = np.roll(x, -1, axis=0)
+        down[-1] = x[-1]
+        even = (3.0 * x + up + 1.0) * 0.25
+        odd = (3.0 * x + down + 2.0) * 0.25
+        x = np.stack([even, odd], axis=1).reshape(-1, x.shape[1])
+    # Clamp before the cast: the compounded rounding biases can reach
+    # exactly 256.0 in an all-255 neighborhood (see ops/color.fancy_upsample)
+    # and NumPy's uint8 cast would wrap it to 0.
+    return np.clip(np.floor(x), 0.0, 255.0).astype(plane.dtype)
+
+
 def color_convert(
     frame: FrameHeader,
     pixel_planes: list[np.ndarray],

@@ -278,6 +278,35 @@ def _entropy_decode(
 # ---------------------------------------------------------------------------
 
 
+def _host_fancy_convert(frame, pixel_planes, quirks):
+    """No-JAX fancy-upsample color path for use_device=False: triangular 2x
+    passes (NumPy mirror of ops/color.fancy_upsample, bit-compatible), NN
+    for any remaining non-2x ratio, then the channel-level exact
+    conversions. Mirrors the device stage's upsampled() structure."""
+    from ..core import numerics
+
+    h, w = frame.height, frame.width
+    mh, mv = frame.max_hsf, frame.max_vsf
+    chans = []
+    for p, c in zip(pixel_planes, frame.components):
+        x = oracle.fancy_upsample_np(p, c.hsf, c.vsf, mh, mv)
+        eh = 2 * c.hsf if 2 * c.hsf == mh else c.hsf
+        ev = 2 * c.vsf if 2 * c.vsf == mv else c.vsf
+        if eh == mh and ev == mv:
+            chans.append(x[:h, :w])
+        else:
+            rows = np.asarray(
+                numerics._nn_index_f32(h, np.float32(ev) / np.float32(mv))
+            )
+            cols = np.asarray(
+                numerics._nn_index_f32(w, np.float32(eh) / np.float32(mh))
+            )
+            chans.append(x[rows[:, None], cols[None, :]])
+    if frame.ncs == 3:
+        return numerics.ycbcr_channels_to_rgb(*chans, quirks)
+    return numerics.ycck_channels_to_rgb(*chans, quirks)
+
+
 def decode_structure(
     structure: JpegStructure, cfg: DecodeConfig | None = None
 ) -> DecodedImage:
@@ -289,7 +318,10 @@ def decode_structure(
     if not cfg.use_device:
         with metrics.timer("pixel_host"):
             pixel_planes = oracle.pixels_from_coeffs(frame, planes, qts)
-            rgb = oracle.color_convert(frame, pixel_planes, cfg.quirks)
+            if cfg.upsample == "fancy" and frame.ncs > 1:
+                rgb = _host_fancy_convert(frame, pixel_planes, cfg.quirks)
+            else:
+                rgb = oracle.color_convert(frame, pixel_planes, cfg.quirks)
         return DecodedImage(frame=frame, planes=pixel_planes, rgb=rgb)
 
     stage = device_stage_for(frame, qts, cfg)

@@ -889,7 +889,10 @@ __attribute__((always_inline)) static inline int reg_step(
         }
         if (ci > 63) return -JDT_ERR_COEF_RANGE;
         int size = sym & 0x0F;
-        int32_t v = static_cast<int32_t>((w << (e >> 8)) >> (64 - size));
+        // A corrupt DHT can assign a 13-16 bit code to an RRRR/0 symbol
+        // (size==0): guard the shift like BitReader's slow path does, else
+        // `>> (64 - size)` is a shift by 64 (UB). extend(v,0)==0.
+        int32_t v = size ? static_cast<int32_t>((w << (e >> 8)) >> (64 - size)) : 0;
         bp += (e >> 8) + size;
         du[ci] = static_cast<int16_t>(extend(v, size));
         ci++;

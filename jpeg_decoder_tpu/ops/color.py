@@ -83,7 +83,11 @@ def fancy_upsample(plane, out_h: int, out_w: int, hsf: int, vsf: int,
     if 2 * vsf == max_vsf:
         x = fancy_v2x(x)
         ev = 2 * vsf
-    x = jnp.floor(x).astype(jnp.uint8)
+    # The compounding +1/+2 rounding biases of the two passes can reach
+    # exactly 256.0 in an all-255 neighborhood (3*255.5 + 255.5 + 2)/4;
+    # libjpeg's integer form maxes at 255, so clamp explicitly rather than
+    # relying on XLA's saturating cast (NumPy's would wrap to 0).
+    x = jnp.clip(jnp.floor(x), 0.0, 255.0).astype(jnp.uint8)
     if eh == max_hsf and ev == max_vsf:
         return x[:out_h, :out_w]  # full-res after upsampling: plain crop
     # Non-2x ratios remain: NN the rest of the way.

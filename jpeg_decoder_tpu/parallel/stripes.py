@@ -33,7 +33,6 @@ and inherently non-local; whole-image mode replicates it).
 
 from __future__ import annotations
 
-import concurrent.futures as cf
 import functools
 
 import numpy as np
@@ -149,7 +148,10 @@ def make_shard_fn(key, n_stripes: int):
                     up = _fancy_upsample_v2x_striped(up, mesh_mod.STRIPE_AXIS)
                 # One floor at the end; both dims now at full resolution
                 # (guaranteed by fancy_ok): crop the stripe-local plane.
-                chans.append(jnp.floor(up).astype(jnp.uint8)[:hs, :w])
+                # Clamp like ops/color.fancy_upsample (256.0 is reachable).
+                chans.append(
+                    jnp.clip(jnp.floor(up), 0.0, 255.0).astype(jnp.uint8)[:hs, :w]
+                )
             else:
                 # NN gather: global row table sliced to this stripe, made
                 # stripe-local (MCU alignment keeps sources in-stripe).
@@ -238,7 +240,6 @@ def entropy_decode_striped(
     import os as _os
 
     total_threads = cfg.num_threads or _os.cpu_count() or 1
-    per_stripe_threads = max(1, total_threads // min(n_stripes, 8))
 
     def one_stripe(k):
         s0 = k * segs_per_stripe
@@ -257,18 +258,21 @@ def entropy_decode_striped(
             local_mcus = min(
                 (s1 - s0) * ri, total_mcus - s0 * ri
             )
-            # Stripes run concurrently; split the thread budget across
-            # them (each stripe's segment group is itself segment-parallel,
-            # so a many-core host still uses all its cores).
+            # Stripes decode sequentially, each with the FULL thread
+            # budget: the native WorkPool serializes concurrent
+            # multi-worker run() calls on run_mutex_, so running stripes
+            # concurrently with total/8 threads each would execute them
+            # one at a time at 1/8 parallelism anyway (r2 advisor
+            # finding). Each stripe's segment group is itself
+            # segment-parallel, so all cores stay busy per stripe.
             nr.decode_scan_native_raw(
                 structure, scan, planes,
-                cfg.replace(num_threads=per_stripe_threads),
+                cfg.replace(num_threads=total_threads),
                 bounds[s0:s1], local_mcus, local_params, luts,
             )
         return planes
 
-    with cf.ThreadPoolExecutor(max_workers=min(n_stripes, 8)) as pool:
-        stripe_planes = list(pool.map(one_stripe, range(n_stripes)))
+    stripe_planes = [one_stripe(k) for k in range(n_stripes)]
 
     # Edge-replicate: the stripes covering padding MCU rows got no data for
     # them (local_mcus stops at the real total); fill those block rows with
