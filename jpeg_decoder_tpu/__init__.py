@@ -48,6 +48,14 @@ def decode(data, cfg=None):
     return JpegDecoder(cfg).decode(data)
 
 
+def decode_file(path, cfg=None):
+    """Decode a JPEG file via a zero-copy np.memmap (streaming input: peak
+    RSS bounded by planes + output, not file size). See models/decoder.py."""
+    from .models.decoder import decode_file as _df
+
+    return _df(path, cfg)
+
+
 def encode(rgb, cfg=None):
     """Encode an RGB (or grayscale) uint8 array to baseline JPEG bytes."""
     from .models.encoder import JpegEncoder

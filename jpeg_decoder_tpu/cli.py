@@ -65,11 +65,12 @@ def _decode_cfg(args) -> DecodeConfig:
 
 def cmd_decode(args) -> int:
     cfg = _decode_cfg(args)
-    from .models.decoder import decode
+    from .models.decoder import decode_file
 
-    data = Path(args.input).read_bytes()
     t0 = time.perf_counter()
-    img = decode(data, cfg)
+    # memmap streaming input: bytes page in lazily, so peak RSS is bounded
+    # by planes + output rather than 2x file size on gigapixel inputs.
+    img = decode_file(Path(args.input), cfg)
     dt = time.perf_counter() - t0
     if args.out:
         _write_image(Path(args.out), img.rgb)

@@ -49,9 +49,14 @@ def read_u16be(data: np.ndarray, off: int) -> int:
     return (int(data[off]) << 8) | int(data[off + 1])
 
 
-def scan_entropy_span(data: np.ndarray, start: int) -> tuple[int, np.ndarray]:
-    """One combined pass over a scan's bytes: returns (end, rst_offsets) —
-    what entropy_span_end + find_restart_markers compute in two passes.
+def scan_entropy_span(
+    data: np.ndarray, start: int
+) -> tuple[int, np.ndarray, np.ndarray | None]:
+    """One combined pass over a scan's bytes: returns
+    (end, rst_offsets, stuff_offsets) — what entropy_span_end +
+    find_restart_markers compute in two passes, plus the offsets of every
+    stuffed 0xFF (consumed by the native index-driven unstuff; None when
+    the native scan's buffer overflowed on pathological density).
     The classifier: a 0xFF is stuffing (next == 0x00), an in-scan restart
     marker (0xD0-0xD7), a fill byte (next == 0xFF, spec B.1.1.2 — the
     marker comes after the fill run), or the scan terminator (anything
@@ -69,16 +74,18 @@ def scan_entropy_span(data: np.ndarray, start: int) -> tuple[int, np.ndarray]:
         return native
     ff = np.flatnonzero(data[start:] == 0xFF)
     if ff.size == 0:
-        return n, np.empty(0, dtype=np.int64)
+        return n, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     nxt = data[start:][np.minimum(ff + 1, n - start - 1)]
     is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
     is_fill = nxt == 0xFF
-    is_term = ~((nxt == 0x00) | is_rst | is_fill)
+    is_stuff = nxt == 0x00
+    is_term = ~(is_stuff | is_rst | is_fill)
     is_term |= (ff + 1) >= (n - start)
     hits = np.flatnonzero(is_term)
     end_rel = int(ff[hits[0]]) if hits.size else n - start
     rst = ff[is_rst & (ff < end_rel)].astype(np.int64) + start
-    return start + end_rel, rst
+    stuff = ff[is_stuff & (ff < end_rel)].astype(np.int64) + start
+    return start + end_rel, rst, stuff
 
 
 def unstuff(data: np.ndarray, start: int, end: int) -> tuple[np.ndarray, np.ndarray]:

@@ -104,6 +104,15 @@ def _parse_frame_header(
     return fh, off + length
 
 
+# Successful DHT/DQT parses content-cached by segment bytes: serving
+# workloads repeat encoder table sets image after image, and the numpy
+# copies + dataclass builds cost ~0.1 ms/image on the host hot path. The
+# cached specs are frozen dataclasses treated immutably downstream.
+_DHT_CACHE: dict[bytes, list] = {}
+_DQT_CACHE: dict[bytes, list] = {}
+_SEG_CACHE_CAP = 512
+
+
 def _parse_dht(
     data: np.ndarray, off: int
 ) -> tuple[list[HuffTableSpec], int]:
@@ -115,6 +124,10 @@ def _parse_dht(
     end = off + length
     if end > data.shape[0]:
         raise JpegTruncatedError("DHT extends past end of stream", offset=off)
+    key = data[off : off + length].tobytes()
+    hit = _DHT_CACHE.get(key)
+    if hit is not None:
+        return hit, end
     p = off + 2
     tables = []
     while p < end:
@@ -143,6 +156,9 @@ def _parse_dht(
             )
         )
         p += 17 + total
+    if len(_DHT_CACHE) >= _SEG_CACHE_CAP:
+        _DHT_CACHE.clear()
+    _DHT_CACHE[key] = tables
     return tables, end
 
 
@@ -157,6 +173,10 @@ def _parse_dqt(data: np.ndarray, off: int) -> tuple[list[tuple[int, QuantTable]]
     end = off + length
     if end > data.shape[0]:
         raise JpegTruncatedError("DQT extends past end of stream", offset=off)
+    key = data[off : off + length].tobytes()
+    hit = _DQT_CACHE.get(key)
+    if hit is not None:
+        return hit, end
     p = off + 2
     out = []
     while p < end:
@@ -179,6 +199,9 @@ def _parse_dqt(data: np.ndarray, off: int) -> tuple[list[tuple[int, QuantTable]]
         natural[ZIGZAG] = zz_vals
         out.append((table_id, QuantTable(precision=precision, values=natural)))
         p += 1 + n
+    if len(_DQT_CACHE) >= _SEG_CACHE_CAP:
+        _DQT_CACHE.clear()
+    _DQT_CACHE[key] = out
     return out, end
 
 
@@ -301,9 +324,14 @@ def parse(
             if not quant_tables:
                 # Reference refuses to decode a scan without DQT (decode.c:321-326).
                 raise JpegFormatError("SOS with no quantization tables defined")
-            entropy_end, rst = bs.scan_entropy_span(data, entropy_start)
+            entropy_end, rst, stuff = bs.scan_entropy_span(
+                data, entropy_start
+            )
             span = EntropySpan(
-                start=entropy_start, end=entropy_end, restart_offsets=rst
+                start=entropy_start,
+                end=entropy_end,
+                restart_offsets=rst,
+                stuff_offsets=stuff,
             )
             scans.append(
                 Scan(

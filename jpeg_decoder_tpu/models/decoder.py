@@ -351,6 +351,22 @@ def decode_rgb(data: bytes | np.ndarray, cfg: DecodeConfig | None = None) -> np.
     return decode(data, cfg).rgb
 
 
+def decode_file(path, cfg: DecodeConfig | None = None) -> DecodedImage:
+    """Decode a JPEG file through an np.memmap view — the streaming input
+    path (reference analogue: the viewer's mmap'd zero-copy read,
+    /root/reference/src/jpeg_decoder.c:143-177). The whole pipeline
+    (parser, prescan, native entropy decode) consumes the mapping
+    zero-copy, so bytes page in lazily and the OS can evict them under
+    pressure: peak RSS is bounded by planes + output rather than
+    2x file size — measured on the 0.5-gigapixel artifact
+    (benchmarks/GIGAPIXEL.json)."""
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    try:
+        return decode(mm, cfg)
+    finally:
+        del mm  # drop the mapping promptly (Windows-style hygiene)
+
+
 class JpegDecoder:
     """Reusable decoder handle: holds config, shares the device-program cache
     across calls (the serving pattern: same-geometry JPEGs decode with one

@@ -85,6 +85,8 @@ def _load():
             ctypes.POINTER(i16pp),               # planes (int16 coeff IR)
             ctypes.c_int32,                      # n_threads
             ctypes.POINTER(ctypes.c_int64),      # err_out
+            ctypes.POINTER(ctypes.c_int64),      # stuff (may be None)
+            ctypes.c_int64,                      # n_stuff (-1 = absent)
         ]
         # progressive: same prefix but WITHOUT the vlut2s slot (the
         # pair table is sequential-AC-only), plus ss/se/ah/al.
@@ -110,6 +112,8 @@ def _load():
             ctypes.c_int32,                      # n_luts
             ctypes.POINTER(i16pp),               # planes (int16 coeff IR)
             ctypes.c_int32,                      # n_threads
+            ctypes.POINTER(ctypes.c_int64),      # stuff (may be None)
+            ctypes.c_int64,                      # n_stuff (-1 = absent)
         ]
         lib.jdt_encode_scan.restype = ctypes.c_int32
         lib.jdt_encode_scan.argtypes = [
@@ -140,8 +144,9 @@ def _load():
             i64p, ctypes.c_int64,                  # rst_out, max_rst
             i64p,                                  # n_rst_out
             ctypes.c_int32,                        # n_threads
+            i64p, ctypes.c_int64, i64p,            # stuff_out, max, n_out
         ]
-        if lib.jdt_version() != 8:
+        if lib.jdt_version() != 9:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -324,6 +329,7 @@ def _try_speculative(
         len(luts),
         plane_ptrs,
         cfg.num_threads,
+        *_stuff_args(scan),
     )
     if rc == 0:
         return True
@@ -335,6 +341,17 @@ def _try_speculative(
         # for anything else between this return and the serial decode.
         return False
     raise JpegEntropyError(f"speculative decode failed: {_STATUS.get(rc, rc)}")
+
+
+def _stuff_args(scan: Scan):
+    """(stuff_ptr, n_stuff) for the native index-driven unstuff; the scan
+    keeps the array alive for the duration of the call."""
+    st = scan.span.stuff_offsets
+    if st is None:
+        return None, -1
+    if not (st.dtype == np.int64 and st.flags["C_CONTIGUOUS"]):
+        return None, -1
+    return st.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), st.shape[0]
 
 
 def decode_scan_native_raw(
@@ -386,6 +403,7 @@ def decode_scan_native_raw(
         *[p.ctypes.data_as(i16p) for p in plane_arrays]
     )
     err = np.full(2, -1, dtype=np.int64)
+    stuff_ptr, n_stuff = _stuff_args(scan)
     rc = lib.jdt_decode_sequential(
         data.ctypes.data_as(u8p),
         bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -403,6 +421,8 @@ def decode_scan_native_raw(
         plane_ptrs,
         cfg.num_threads,
         err.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        stuff_ptr,
+        n_stuff,
     )
     if rc != 0:
         raise JpegEntropyError(
@@ -410,6 +430,52 @@ def decode_scan_native_raw(
             f" (segment {err[0]}, mcu {err[1]})",
             mcu=int(err[1]),
         )
+
+
+# Prepared ctypes pointer-array bundles for decode_scan_native, keyed by the
+# identity of the lut objects. flat_lut_for_spec content-caches the lut
+# objects themselves, so in steady-state serving the same objects recur on
+# every image and the per-call ctypes construction (~0.2 ms/image measured)
+# is pure overhead. Values keep a strong reference to the luts so the ids
+# can never be recycled while cached. Bounded; cleared wholesale when full.
+_LUT_PTRS_CACHE: dict = {}
+_LUT_PTRS_CAP = 128
+
+
+def _lut_ptr_arrays(luts):
+    key = tuple(id(lut) for lut in luts)
+    hit = _LUT_PTRS_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    arrays = (
+        (u16p * len(luts))(*[l.lut12c.ctypes.data_as(u16p) for l in luts]),
+        (u16p * len(luts))(*[l.lut16c.ctypes.data_as(u16p) for l in luts]),
+        (i32p * len(luts))(*[l.vlut.ctypes.data_as(i32p) for l in luts]),
+        (i32p * len(luts))(*[l.pvlut.ctypes.data_as(i32p) for l in luts]),
+        (u64p * len(luts))(*[l.vlut2.ctypes.data_as(u64p) for l in luts]),
+    )
+    if len(_LUT_PTRS_CACHE) >= _LUT_PTRS_CAP:
+        _LUT_PTRS_CACHE.clear()
+    _LUT_PTRS_CACHE[key] = (list(luts), arrays)
+    return arrays
+
+
+def _plane_ptr_array(planes: CoefficientPlanes):
+    """Per-CoefficientPlanes ctypes pointer array, cached on the object
+    (its plane arrays are allocated once and never replaced, so the
+    pointers stay valid for the object's lifetime — pool reuse hits this
+    every image)."""
+    pp = getattr(planes, "_jdt_plane_ptrs", None)
+    if pp is None:
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        pp = (i16p * len(planes.planes))(
+            *[p.ctypes.data_as(i16p) for p in planes.planes]
+        )
+        planes._jdt_plane_ptrs = pp
+    return pp
 
 
 def decode_scan_native(
@@ -430,30 +496,13 @@ def decode_scan_native(
         return
     n_segs = _check_segments(scan, total_mcus)
 
-    bounds = np.array(
-        [b for se in scan.span.segment_bounds() for b in se], dtype=np.int64
-    )
+    bounds = scan.span.segment_bounds_flat()
     data = np.ascontiguousarray(structure.data)
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    u16p = ctypes.POINTER(ctypes.c_uint16)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    lut12s = (u16p * len(luts))(
-        *[lut.lut12c.ctypes.data_as(u16p) for lut in luts]
-    )
-    lut16s = (u16p * len(luts))(
-        *[lut.lut16c.ctypes.data_as(u16p) for lut in luts]
-    )
-    vluts = (i32p * len(luts))(
-        *[lut.vlut.ctypes.data_as(i32p) for lut in luts]
-    )
-    pvluts = (i32p * len(luts))(
-        *[lut.pvlut.ctypes.data_as(i32p) for lut in luts]
-    )
-    i16p = ctypes.POINTER(ctypes.c_int16)
-    plane_ptrs = (i16p * frame.ncs)(
-        *[planes.plane(i).ctypes.data_as(i16p) for i in range(frame.ncs)]
-    )
+    lut12s, lut16s, vluts, pvluts, vlut2s = _lut_ptr_arrays(luts)
+    plane_ptrs = _plane_ptr_array(planes)
     err = np.full(2, -1, dtype=np.int64)
 
     common = (
@@ -477,11 +526,7 @@ def decode_scan_native(
             *common, *tail[:2], sh.ss, sh.se, sh.ah, sh.al, *tail[2:]
         )
     else:
-        u64p = ctypes.POINTER(ctypes.c_uint64)
-        vlut2s = (u64p * len(luts))(
-            *[lut.vlut2.ctypes.data_as(u64p) for lut in luts]
-        )
-        rc = lib.jdt_decode_sequential(*common, vlut2s, *tail)
+        rc = lib.jdt_decode_sequential(*common, vlut2s, *tail, *_stuff_args(scan))
     if rc != 0:
         raise JpegEntropyError(
             f"native entropy decode failed: {_STATUS.get(rc, rc)}"
@@ -491,19 +536,36 @@ def decode_scan_native(
 
 
 _SCAN_RST_CAP = 1 << 17  # plenty for any realistic restart count
+# The 1 MiB rst scratch crosses NumPy's mmap threshold, so allocating it
+# per call costs mmap/munmap + page-fault churn on the parse hot path;
+# reuse one buffer per thread instead (the C side only writes into it
+# during the call, and the caller copies out the filled prefix).
+_SCAN_TLS = threading.local()
 
 
 def scan_span(data: np.ndarray, start: int):
     """memchr-based entropy-span scan (see jdt_scan_span); returns
-    (end, rst_offsets) or None when unavailable/overflowing (caller uses
-    the NumPy reference implementation)."""
+    (end, rst_offsets, stuff_offsets) or None when unavailable/overflowing
+    (caller uses the NumPy reference implementation). stuff_offsets is None
+    when its buffer overflowed (pathological stuffing density) — decode
+    then falls back to per-segment memchr unstuffing."""
     lib = _load()
     if lib is None:
         return None
     data = np.ascontiguousarray(data)
-    rst = np.empty(_SCAN_RST_CAP, dtype=np.int64)
+    rst = getattr(_SCAN_TLS, "rst", None)
+    if rst is None:
+        rst = _SCAN_TLS.rst = np.empty(_SCAN_RST_CAP, dtype=np.int64)
+    # Stuffed-0xFF density is ~1/256 for typical entropy data; a span//32
+    # cap covers 8x that before falling back.
+    span = data.shape[0] - start
+    stuff_cap = max(1 << 14, span // 32)
+    stuff = getattr(_SCAN_TLS, "stuff", None)
+    if stuff is None or stuff.shape[0] < stuff_cap:
+        stuff = _SCAN_TLS.stuff = np.empty(stuff_cap, dtype=np.int64)
     end = ctypes.c_int64(0)
     n_rst = ctypes.c_int64(0)
+    n_stuff = ctypes.c_int64(-1)
     i64p = ctypes.POINTER(ctypes.c_int64)
     rc = lib.jdt_scan_span(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -514,10 +576,16 @@ def scan_span(data: np.ndarray, start: int):
         _SCAN_RST_CAP,
         ctypes.byref(n_rst),
         0,  # n_threads: 0 = all cores (pooled; large spans only)
+        stuff.ctypes.data_as(i64p),
+        stuff.shape[0],
+        ctypes.byref(n_stuff),
     )
     if rc != 0:
         return None  # more restarts than the cap: NumPy path handles it
-    return int(end.value), rst[: n_rst.value].copy()
+    stuff_out = (
+        stuff[: n_stuff.value].copy() if n_stuff.value >= 0 else None
+    )
+    return int(end.value), rst[: n_rst.value].copy(), stuff_out
 
 
 def encode_scan_native(

@@ -325,6 +325,11 @@ struct ScanContext {
   std::vector<UnitLayout> units;
   std::vector<HuffLut> luts;
   int16_t** planes;
+  // Optional stuffed-0xFF index from the prescan (offsets of each 0xFF
+  // whose next byte is a stuffed 0x00, ascending, data coordinates).
+  // nullptr / n_stuff < 0 -> segments re-scan with memchr as before.
+  const int64_t* stuff = nullptr;
+  int64_t n_stuff = -1;
 };
 
 inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
@@ -721,12 +726,13 @@ __attribute__((always_inline)) static inline uint64_t reg_win(
   return __builtin_bswap64(v) << (bitpos & 7);
 }
 
-// Unstuff [lo, hi) into S.buf (segment bounds exclude markers, so every
+// Unstuff [lo, hi) into `buf` (segment bounds exclude markers, so every
 // 0xFF inside is followed by a stuffed 0x00 — guaranteed by the prescan).
-static void reg_unstuff(const uint8_t* lo, const uint8_t* hi, RegStream& S) {
+static void reg_unstuff(const uint8_t* lo, const uint8_t* hi,
+                        std::vector<uint8_t>& bufv, int64_t& out_len) {
   size_t n = static_cast<size_t>(hi - lo);
-  S.buf.resize(n + kRegPad);
-  uint8_t* out = S.buf.data();
+  bufv.resize(n + kRegPad);
+  uint8_t* out = bufv.data();
   size_t w = 0;
   const uint8_t* p = lo;
   while (p < hi) {
@@ -744,7 +750,35 @@ static void reg_unstuff(const uint8_t* lo, const uint8_t* hi, RegStream& S) {
     if (p < hi && *p == 0x00) p++;  // skip the stuffed zero
   }
   std::memset(out + w, 0, kRegPad);
-  S.len = static_cast<int64_t>(w);
+  out_len = static_cast<int64_t>(w);
+}
+
+// Index-driven unstuff: the prescan already located every stuffed 0xFF, so
+// the per-segment memchr re-scan (a second full read of the stream) is
+// replaced by straight span copies between the recorded positions.
+static void reg_unstuff_indexed(const uint8_t* data, const int64_t* stuff,
+                                int64_t n_stuff, int64_t lo, int64_t hi,
+                                std::vector<uint8_t>& bufv,
+                                int64_t& out_len) {
+  size_t n = static_cast<size_t>(hi - lo);
+  bufv.resize(n + kRegPad);
+  uint8_t* out = bufv.data();
+  const int64_t* f = std::lower_bound(stuff, stuff + n_stuff, lo);
+  const int64_t* fe = stuff + n_stuff;
+  size_t w = 0;
+  int64_t p = lo;
+  for (; f < fe && *f < hi; ++f) {
+    size_t span = static_cast<size_t>(*f - p) + 1;  // include the 0xFF
+    std::memcpy(out + w, data + p, span);
+    w += span;
+    p = *f + 2;  // skip the stuffed 0x00
+  }
+  if (p < hi) {
+    std::memcpy(out + w, data + p, static_cast<size_t>(hi - p));
+    w += static_cast<size_t>(hi - p);
+  }
+  std::memset(out + w, 0, kRegPad);
+  out_len = static_cast<int64_t>(w);
 }
 
 // Point S.du/dc/ac/scomp at the current (mcu, unit) using the
@@ -788,8 +822,12 @@ __attribute__((noinline)) static bool reg_advance(const ScanContext& c,
 static bool reg_init_segment(const ScanContext& c, RegStream& S,
                              int64_t seg) {
   S.seg = seg;
-  reg_unstuff(c.data + c.seg_bounds[2 * seg], c.data + c.seg_bounds[2 * seg + 1],
-              S);
+  if (c.stuff != nullptr && c.n_stuff >= 0)
+    reg_unstuff_indexed(c.data, c.stuff, c.n_stuff, c.seg_bounds[2 * seg],
+                        c.seg_bounds[2 * seg + 1], S.buf, S.len);
+  else
+    reg_unstuff(c.data + c.seg_bounds[2 * seg],
+                c.data + c.seg_bounds[2 * seg + 1], S.buf, S.len);
   S.preds[0] = S.preds[1] = S.preds[2] = S.preds[3] = 0;
   int64_t mcu_lo = c.ri ? seg * c.ri : 0;
   S.mcu_hi = c.ri ? std::min<int64_t>(mcu_lo + c.ri, c.total_mcus)
@@ -1173,29 +1211,261 @@ void speculative_worker(const uint8_t* data, int64_t scan_start,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// Multi-stream speculative engine. The BitReader speculative_worker above is
+// the semantic reference, but it decodes one chunk per thread with a single
+// dependent probe chain (~3x slower per DU than the register-resident
+// kernel). This engine splits the span into (workers x kSpecK) chunks and
+// has each worker interleave kSpecK chunk streams through the same
+// window/LUT arms as reg_step — the cross-stream ILP that makes the DRI
+// path fast, applied to speculation. Chunks are unstuffed up front (via the
+// prescan's stuff index when available), so windows are straight loads and
+// the sync key position is simply base_bits + bit cursor.
+// KEEP THE DECODE ARMS IN SYNC WITH reg_step — both must stay bitwise
+// equivalent to decode_du_sequential.
+// ---------------------------------------------------------------------------
+
+constexpr int kSpecK = 4;
+constexpr int64_t kMaxSpecRetries = 1 << 16;
+
+struct SpecStream {
+  std::vector<uint8_t> buf;  // unstuffed chunk bytes + kRegPad zeros
+  int64_t len = 0;           // unstuffed length (real bytes)
+  int64_t bp = 0;            // bit cursor in buf
+  int64_t bp_du = 0;         // bp at the current DU's start (resync point)
+  int32_t ci = 0;
+  int64_t base_bits = 0;     // global unstuffed bits before this chunk
+  int64_t stop_bits = 0;     // stop decoding once base_bits + bp >= this
+  int64_t max_dus = 0;
+  int P = 1;
+  int phase = 0;             // unit-within-MCU hypothesis for current DU
+  int rot = 0;               // phase rotations tried at the current bit
+  int64_t retries = 0;
+  const std::vector<UnitLayout>* units = nullptr;
+  const std::vector<HuffLut>* luts = nullptr;
+  const HuffLut* dc = nullptr;
+  const HuffLut* ac = nullptr;
+  const uint64_t* vac = nullptr;
+  int16_t* du = nullptr;
+  int32_t* pred = nullptr;
+  int32_t pred_du0 = 0;      // direct: predictor value at DU start
+  bool direct = false;       // chunk 0: decode straight into the planes
+  bool exact = false;        // chunk 0: decode errors are real corruption
+  int16_t stage[64];
+  int16_t scratch[64];
+  int32_t preds[4] = {0, 0, 0, 0};
+  int32_t dc_diff = 0;
+  int16_t** planes = nullptr;
+  SpecChunk* out = nullptr;
+};
+
+static void spec_set_du(SpecStream& S) {
+  const UnitLayout& ul = (*S.units)[S.phase];
+  if (S.direct) {
+    int64_t idx = static_cast<int64_t>(S.out->keys.size());
+    int64_t base = (idx / S.P) * ul.h + ul.k;
+    int64_t bx = base % ul.wrap;
+    int64_t by = (base / ul.wrap) * ul.v + ul.j;
+    S.du = (by < ul.plane_bh && bx < ul.plane_bw)
+               ? S.planes[ul.plane] + (by * ul.plane_bw + bx) * 64
+               : S.scratch;
+    S.pred = &S.preds[ul.scomp];
+    S.pred_du0 = *S.pred;
+  } else {
+    S.du = S.stage;
+    S.dc_diff = 0;
+    S.pred = &S.dc_diff;
+  }
+  std::memset(S.du, 0, 64 * sizeof(int16_t));
+  S.dc = &(*S.luts)[ul.dc_lut];
+  S.ac = &(*S.luts)[ul.ac_lut];
+  S.vac = S.ac->vlut2;
+}
+
+// One hot step for a speculative stream. Hot state (bit cursor, coef
+// index, du pointer, AC pair table) is passed by reference so it stays in
+// registers across interleaved rounds, exactly like reg_step. Returns
+// 0 = alive, 1 = stream finished (successfully or with out->error set).
+// Decode arms mirror reg_step bitwise; DU completion/resync logic mirrors
+// speculative_worker.
+__attribute__((always_inline)) static inline int spec_step(
+    SpecStream& S, const uint8_t* b, int64_t& bp, int32_t& ci,
+    int16_t*& du, const uint64_t*& vac) {
+  uint64_t w = reg_win(b, bp);
+  if (ci == 0) {  // DC: code (<=16) + magnitude (<=15) fit one window
+    uint32_t idx = static_cast<uint32_t>(w >> 48);
+    uint32_t e = S.dc->lut12[idx >> 4];
+    if (e == 0) {
+      e = S.dc->lut16[idx];
+      if ((e >> 8) == 0) goto spec_error;
+    }
+    {
+      int sz = e & 0xFF;
+      bp += e >> 8;
+      if (sz > 15) goto spec_error;
+      if (sz) {
+        int32_t v = static_cast<int32_t>((w << (e >> 8)) >> (64 - sz));
+        bp += sz;
+        *S.pred += extend(v, sz);
+      }
+      du[0] = static_cast<int16_t>(*S.pred);
+      ci = 1;
+      return 0;
+    }
+  }
+  {
+    uint64_t en = vac[static_cast<uint32_t>(w >> 52)];
+    int off2 = (en >> 36) & 63;
+    if (((((en >> 53) & 3) != 0) | (ci + off2 > 63)) == 0) {
+      du[ci + ((en >> 32) & 15)] = static_cast<int16_t>(en & 0xFFFF);
+      du[ci + off2] = static_cast<int16_t>((en >> 16) & 0xFFFF);
+      bp += (en >> 46) & 63;
+      ci += off2 + 1;
+      if (ci < 64) return 0;
+      goto du_done;
+    }
+    int kind = static_cast<int>(en >> 52) & 7;
+    switch (kind) {
+      case HuffLut::K2_PAIR:
+      case HuffLut::K2_COEF: {
+        ci += (en >> 32) & 15;
+        if (ci > 63) goto spec_error;
+        du[ci] = static_cast<int16_t>(en & 0xFFFF);
+        bp += (en >> 42) & 15;
+        ci++;
+        if (ci < 64) return 0;
+        goto du_done;
+      }
+      case HuffLut::K2_COEF_EOB: {
+        ci += (en >> 32) & 15;
+        if (ci > 63) goto spec_error;
+        du[ci] = static_cast<int16_t>(en & 0xFFFF);
+        bp += ci == 63 ? (en >> 42) & 15 : (en >> 46) & 63;
+        goto du_done;
+      }
+      case HuffLut::K2_EOB:
+        bp += (en >> 46) & 63;
+        goto du_done;
+      case HuffLut::K2_ZRL:
+        bp += (en >> 46) & 63;
+        ci += 16;
+        if (ci < 64) return 0;
+        goto du_done;
+      default: {  // K2_SLOW: long code or long extend
+        uint32_t idx = static_cast<uint32_t>(w >> 48);
+        uint32_t e = S.ac->lut12[idx >> 4];
+        if (e == 0) {
+          e = S.ac->lut16[idx];
+          if ((e >> 8) == 0) goto spec_error;
+        }
+        int sym = e & 0xFF;
+        ci += sym >> 4;
+        if (sym == 0x00) { bp += e >> 8; goto du_done; }
+        if (sym == 0xF0) {
+          bp += e >> 8;
+          ci += 1;
+          if (ci >= 64) goto du_done;
+          return 0;
+        }
+        if (ci > 63) goto spec_error;
+        int sz = sym & 0x0F;
+        int32_t v =
+            sz ? static_cast<int32_t>((w << (e >> 8)) >> (64 - sz)) : 0;
+        bp += (e >> 8) + sz;
+        du[ci] = static_cast<int16_t>(extend(v, sz));
+        ci++;
+        if (ci >= 64) goto du_done;
+        return 0;
+      }
+    }
+  }
+du_done: {
+  int64_t pos = S.base_bits + S.bp_du;
+  S.out->keys.push_back(pos * S.P + S.phase);
+  if (S.direct) {
+    S.out->dcs.push_back(*S.pred - S.pred_du0);  // store the DIFF
+  } else {
+    S.out->dcs.push_back(du[0]);
+    S.out->dus.insert(S.out->dus.end(), du, du + 64);
+  }
+  S.rot = 0;
+  // Consumed fabricated zero padding: the stream is over (mirrors the
+  // BitReader loop's push-then-break on overran()).
+  if (bp > 8 * S.len + 7) return 1;
+  S.phase = (S.phase + 1) % S.P;
+  S.bp_du = bp;
+  ci = 0;
+  if (static_cast<int64_t>(S.out->keys.size()) >= S.max_dus) return 1;
+  if (S.base_bits + bp >= S.stop_bits) return 1;
+  spec_set_du(S);
+  du = S.du;
+  vac = S.ac->vlut2;
+  return 0;
+}
+spec_error: {
+  // Hypothesis exploration — same order as speculative_worker: rotate the
+  // phase at this bit first, then shift the start by one bit.
+  if (S.exact || ++S.retries > kMaxSpecRetries) {
+    S.out->error = true;
+    return 1;
+  }
+  if (S.bp_du > 8 * S.len + 7) {  // retrying against padding: stream over
+    S.out->error = true;
+    return 1;
+  }
+  if (++S.rot < S.P) {
+    S.phase = (S.phase + 1) % S.P;
+  } else {
+    S.rot = 0;
+    S.phase = (S.phase + 1) % S.P;
+    S.bp_du += 1;
+  }
+  bp = S.bp_du;
+  ci = 0;
+  spec_set_du(S);
+  du = S.du;
+  vac = S.ac->vlut2;
+  return 0;
+}
+}
+
 // Returns JDT_OK and fills `planes` on success; JDT_ERR_BAD_ARG signals
 // "could not synchronize — caller must run the serial path".
 int decode_speculative(const uint8_t* data, int64_t scan_start,
                        int64_t scan_end, int64_t total_mcus,
                        const std::vector<UnitLayout>& units,
                        const std::vector<HuffLut>& luts, int16_t** planes,
-                       int32_t n_threads) {
+                       int32_t n_threads, const int64_t* stuff,
+                       int64_t n_stuff) {
   const int P = static_cast<int>(units.size());
   const int64_t total_dus = total_mcus * P;
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   int64_t span = scan_end - scan_start;
-  int k = std::min<int64_t>(n_threads, span / (1 << 16));  // >=64KB per chunk
+  // JDT_SPEC_MODE=bitreader forces the single-stream reference workers
+  // (A/B hook; the multi-stream engine below is the default).
+  const char* mode = std::getenv("JDT_SPEC_MODE");
+  const bool multistream = !(mode && std::strcmp(mode, "bitreader") == 0);
+  const int workers = static_cast<int>(
+      std::min<int64_t>(n_threads, std::max<int64_t>(1, span / (1 << 16))));
+  int k = multistream
+              ? static_cast<int>(std::min<int64_t>(
+                    static_cast<int64_t>(workers) * kSpecK, span / (1 << 16)))
+              : std::min<int64_t>(n_threads, span / (1 << 16));
   if (k < 2) return JDT_ERR_BAD_ARG;
 
   // Global unstuffed bit offset of each chunk start: count FF00 pairs.
-  // memchr hops 0xFF to 0xFF (libc SIMD scan) — high-entropy streams have
-  // ~2 FFs per 256 bytes, so this replaces a byte-serial pass over the
-  // whole span with a sparse walk.
+  // With the prescan's stuff index this is a binary search per boundary;
+  // otherwise memchr hops 0xFF to 0xFF (libc SIMD scan).
   std::vector<int64_t> chunk_byte(k + 1), chunk_bits(k + 1);
   std::vector<int64_t> stuffed_before(k + 1, 0);
   for (int i = 0; i <= k; i++)
     chunk_byte[i] = scan_start + span * i / k;
-  {
+  if (stuff != nullptr && n_stuff >= 0) {
+    for (int i = 1; i <= k; i++)
+      stuffed_before[i] =
+          std::lower_bound(stuff, stuff + n_stuff, chunk_byte[i]) - stuff;
+  } else {
     int64_t stuffed = 0;
     int next = 1;
     int64_t b = scan_start;
@@ -1218,15 +1488,105 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   const bool dbg = std::getenv("JDT_DEBUG") != nullptr;
   auto t_setup = std::chrono::steady_clock::now();
   std::vector<SpecChunk> chunks(k);
-  pool_run(k, [&](int t) {
-    int64_t stop = (t + 1 < k)
-                       ? chunk_bits[t + 1] + kOverrunBits
-                       : std::numeric_limits<int64_t>::max();
-    speculative_worker(data, scan_start, chunk_byte[t], scan_end,
-                       chunk_bits[t], stop, total_dus + P * 16,
-                       total_dus / k + 4096, &units, &luts, t == 0,
-                       t == 0 ? planes : nullptr, &chunks[t]);
-  });
+  if (multistream) {
+    pool_run(workers, [&](int wslot) {
+      // Worker wslot owns chunks {t : t % workers == wslot}, interleaved
+      // as concurrent streams (cross-stream ILP hides the probe chains,
+      // same structure as reg_run: hot state in register-resident locals,
+      // fixed-trip unrolled stream loop).
+      // Sized up front: SpecStream holds self-referential pointers (pred
+      // into preds[], du into stage[]), so reallocation after spec_set_du
+      // would leave them dangling.
+      int n_st = (k > wslot) ? (k - 1 - wslot) / workers + 1 : 0;
+      std::vector<SpecStream> st(n_st);
+      int si = 0;
+      for (int t = wslot; t < k; t += workers) {
+        SpecStream& S = st[si++];
+        int64_t lo = chunk_byte[t];
+        int64_t base = chunk_bits[t];
+        // A chunk must not begin on the 0x00 of a stuffed FF00 pair (the
+        // same correction as speculative_worker's).
+        if (lo > scan_start && data[lo] == 0x00 && data[lo - 1] == 0xFF) {
+          lo++;
+          base += 8;
+        }
+        // Unstuffed buffer covering this chunk plus the overlap window
+        // (stop extends kOverrunBits past the next boundary; the raw
+        // margin below yields more unstuffed bits than that even at
+        // pathological stuffing density).
+        int64_t hi = (t + 1 < k)
+                         ? std::min<int64_t>(
+                               chunk_byte[t + 1] + kOverrunBits / 8 + 4096,
+                               scan_end)
+                         : scan_end;
+        if (stuff != nullptr && n_stuff >= 0)
+          reg_unstuff_indexed(data, stuff, n_stuff, lo, hi, S.buf, S.len);
+        else
+          reg_unstuff(data + lo, data + hi, S.buf, S.len);
+        S.base_bits = base;
+        S.stop_bits = (t + 1 < k) ? chunk_bits[t + 1] + kOverrunBits
+                                  : std::numeric_limits<int64_t>::max();
+        S.max_dus = total_dus + P * 16;
+        S.P = P;
+        S.units = &units;
+        S.luts = &luts;
+        S.direct = (t == 0) && planes != nullptr;
+        S.exact = (t == 0);
+        S.planes = planes;
+        S.out = &chunks[t];
+        if (!S.direct)
+          S.out->dus.reserve(
+              static_cast<size_t>(total_dus / k + 4096) * 64);
+        spec_set_du(S);
+      }
+      const uint8_t* base[kSpecK];
+      int64_t bp[kSpecK];
+      int32_t ci[kSpecK];
+      int16_t* du[kSpecK];
+      const uint64_t* vac[kSpecK];
+      uint32_t livemask = 0;
+      for (int i = 0; i < n_st && i < kSpecK; i++) {
+        base[i] = st[i].buf.data();
+        bp[i] = 0;
+        ci[i] = 0;
+        du[i] = st[i].du;
+        vac[i] = st[i].ac->vlut2;
+        livemask |= 1u << i;
+      }
+      auto tw0 = std::chrono::steady_clock::now();
+      while (livemask) {
+#pragma GCC unroll 4
+        for (int i = 0; i < kSpecK; i++) {
+          if (!(livemask & (1u << i))) continue;
+          if (__builtin_expect(
+                  spec_step(st[i], base[i], bp[i], ci[i], du[i], vac[i]),
+                  0))
+            livemask &= ~(1u << i);
+        }
+      }
+      if (dbg) {
+        auto tw1 = std::chrono::steady_clock::now();
+        int64_t rt = 0, dus = 0;
+        for (auto& S : st) { rt += S.retries; dus += S.out->keys.size(); }
+        std::fprintf(stderr,
+                     "[spec] mworker %d: %.2fms %lld dus %lld retries\n",
+                     wslot,
+                     std::chrono::duration<double, std::milli>(tw1 - tw0)
+                         .count(),
+                     (long long)dus, (long long)rt);
+      }
+    });
+  } else {
+    pool_run(k, [&](int t) {
+      int64_t stop = (t + 1 < k)
+                         ? chunk_bits[t + 1] + kOverrunBits
+                         : std::numeric_limits<int64_t>::max();
+      speculative_worker(data, scan_start, chunk_byte[t], scan_end,
+                         chunk_bits[t], stop, total_dus + P * 16,
+                         total_dus / k + 4096, &units, &luts, t == 0,
+                         t == 0 ? planes : nullptr, &chunks[t]);
+    });
+  }
   auto t_workers = std::chrono::steady_clock::now();
 
   if (dbg) {
@@ -1393,7 +1753,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
 
 extern "C" {
 
-int32_t jdt_version() { return 8; }
+int32_t jdt_version() { return 9; }
 
 // Entropy-span prescan: find where a scan's entropy bytes end and every
 // in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),
@@ -1402,9 +1762,14 @@ int32_t jdt_version() { return 8; }
 // whole-buffer passes (io/bitstream.scan_entropy_span is the semantic
 // reference; both must classify identically). Returns 0 on success, 1 if
 // more than max_rst restart markers were found (caller falls back).
+// stuff_out (optional, may be null): offsets of each stuffed 0xFF, for the
+// index-driven unstuff in the decode stage; *n_stuff_out = -1 signals
+// overflow past max_stuff (decode falls back to per-segment memchr).
 int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
                       int64_t* end_out, int64_t* rst_out, int64_t max_rst,
-                      int64_t* n_rst_out, int32_t n_threads) {
+                      int64_t* n_rst_out, int32_t n_threads,
+                      int64_t* stuff_out, int64_t max_stuff,
+                      int64_t* n_stuff_out) {
   // 0xFF classification is LOCAL (each 0xFF is judged by its next byte),
   // so the walk parallelizes by byte chunks: the only boundary hazard is a
   // pair straddling a chunk edge, resolved by one look-back byte (a chunk
@@ -1420,6 +1785,7 @@ int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
         std::min<int64_t>(n_threads, span >> 19));  // >= 512 KiB per chunk
   struct ChunkRes {
     std::vector<int64_t> rst;
+    std::vector<int64_t> stuff;
     int64_t end = -1;  // -1: no terminator in this chunk
   };
   std::vector<int64_t> cb(C + 1);
@@ -1443,6 +1809,7 @@ int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
       }
       uint8_t nxt = data[i + 1];
       if (nxt == 0x00) {
+        if (stuff_out != nullptr) r.stuff.push_back(i);
         i += 2;  // stuffed
       } else if (nxt >= 0xD0 && nxt <= 0xD7) {
         r.rst.push_back(i);
@@ -1462,10 +1829,17 @@ int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
   }
   int64_t end = n;
   int64_t nr = 0;
+  int64_t ns = 0;
   for (int t = 0; t < C; t++) {
     for (int64_t v : res[t].rst) {
       if (nr < max_rst) rst_out[nr] = v;
       nr++;
+    }
+    if (stuff_out != nullptr) {
+      for (int64_t v : res[t].stuff) {
+        if (ns < max_stuff) stuff_out[ns++] = v;
+        else ns = max_stuff + 1;  // overflow: flag below, stop storing
+      }
     }
     if (res[t].end >= 0) {
       end = res[t].end;
@@ -1474,6 +1848,7 @@ int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
   }
   *end_out = end;
   *n_rst_out = nr;
+  if (n_stuff_out != nullptr) *n_stuff_out = ns > max_stuff ? -1 : ns;
   return nr > max_rst ? 1 : 0;
 }
 
@@ -1488,11 +1863,14 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
                               const int32_t* const* pvluts,
                               const uint64_t* const* vlut2s,
                               int32_t n_luts, int16_t** planes,
-                              int32_t n_threads, int64_t* err_out) {
+                              int32_t n_threads, int64_t* err_out,
+                              const int64_t* stuff, int64_t n_stuff) {
   if (n_segs <= 0 || n_units <= 0 || n_luts <= 0) return JDT_ERR_BAD_ARG;
   ScanContext c = build_context(data, seg_bounds, n_segs, total_mcus, ri,
                                 unit_params, n_units, lut12s, lut16s, vluts,
                                 pvluts, vlut2s, n_luts, planes);
+  c.stuff = stuff;
+  c.n_stuff = n_stuff;
   // Multi-segment scans take the register-resident multi-stream path: 4
   // interleaved streams per worker overlap their dependent LUT-load chains
   // (34 ms vs 67 ms single-thread on the 4K q85 microbench). A single
@@ -1526,7 +1904,7 @@ int32_t jdt_decode_sequential_spec(
     const uint16_t* const* lut12s, const uint16_t* const* lut16s,
     const int32_t* const* vluts, const uint64_t* const* vlut2s,
     int32_t n_luts, int16_t** planes,
-    int32_t n_threads) {
+    int32_t n_threads, const int64_t* stuff, int64_t n_stuff) {
   if (total_mcus <= 0 || n_units <= 0 || n_units > 10 || n_luts <= 0)
     return JDT_ERR_BAD_ARG;
   std::vector<UnitLayout> units(n_units);
@@ -1540,7 +1918,7 @@ int32_t jdt_decode_sequential_spec(
     luts[t] = HuffLut{lut12s[t], lut16s[t], vluts[t], nullptr,
                       vlut2s ? vlut2s[t] : nullptr};
   return decode_speculative(data, scan_start, scan_end, total_mcus, units,
-                            luts, planes, n_threads);
+                            luts, planes, n_threads, stuff, n_stuff);
 }
 
 // Progressive scan (any of the four pass kinds), segment-parallel.

@@ -87,3 +87,20 @@ def test_cli_module_invocation(sample_jpeg, tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert out.exists()
+
+
+def test_decode_file_memmap_matches_bytes(tmp_path):
+    """Streaming (np.memmap) input decodes identically to in-memory bytes
+    through the whole pipeline (parser, prescan, native entropy decode all
+    consume the mapping zero-copy)."""
+    import numpy as np
+
+    import jpeg_decoder_tpu as jt
+    from tests import corpus
+
+    name, data = corpus.baseline_corpus()[0]
+    p = tmp_path / "in.jpg"
+    p.write_bytes(data)
+    want = jt.decode(data).rgb
+    got = jt.decode_file(p).rgb
+    np.testing.assert_array_equal(got, want)

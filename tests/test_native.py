@@ -124,9 +124,11 @@ def test_native_scan_span_matches_numpy(rng):
         import unittest.mock as mock
 
         with mock.patch.object(bs, "_native_scan_span", lambda *a: None):
-            want_end, want_rst = bs.scan_entropy_span(data, start)
+            want_end, want_rst, want_stuff = bs.scan_entropy_span(data, start)
         assert native[0] == want_end, f"trial {trial}: end differs"
         np.testing.assert_array_equal(native[1], want_rst)
+        assert native[2] is not None
+        np.testing.assert_array_equal(native[2], want_stuff)
 
 
 def test_native_truncated_segments_agree_with_numpy(rng):

@@ -304,9 +304,10 @@ def test_fill_bytes_before_restart_marker():
     data = np.frombuffer(
         b"\x11\x22\xff\x00\x33\xff\xff\xd0\x44\x55\xff\xd9", dtype=np.uint8
     )
-    end, rst = bs.scan_entropy_span(data, 0)
+    end, rst, stuff = bs.scan_entropy_span(data, 0)
     assert end == 10  # terminates at the FF of FFD9
     assert list(rst) == [6]  # the marker FF of FF D0 (fill FF at 5 skipped)
+    assert list(stuff) == [2]  # the stuffed FF 00 at offset 2
 
 
 def test_truncated_entropy_typed_error_numpy_backend():
