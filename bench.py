@@ -214,6 +214,26 @@ def main() -> None:
             else:
                 log(f"scaling artifact FAILED (rc={r.returncode}):\n"
                     f"{r.stderr[-1000:]}")
+            # Sharding-overhead-isolated curves (fixed total work,
+            # unsharded vs sharded device program — benchmarks/
+            # weak_scaling.py); merged into SCALING.json.
+            r2 = subprocess.run(
+                [sys.executable, "benchmarks/weak_scaling.py"],
+                cwd=Path(__file__).resolve().parent,
+                env=env, timeout=600, capture_output=True, text=True,
+            )
+            if r2.returncode == 0:
+                root = Path(__file__).resolve().parent
+                ws = json.loads(
+                    (root / "benchmarks" / "WEAK_SCALING.json").read_text()
+                )
+                sc = json.loads((root / "SCALING.json").read_text())
+                sc["sharding_overhead_isolated"] = ws
+                (root / "SCALING.json").write_text(json.dumps(sc, indent=1))
+                log("weak-scaling curves merged into SCALING.json")
+            else:
+                log(f"weak-scaling artifact FAILED (rc={r2.returncode}):\n"
+                    f"{r2.stderr[-800:]}")
         except Exception as e:  # never let the artifact sink the bench
             log(f"scaling artifact skipped: {e}")
 
