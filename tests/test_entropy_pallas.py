@@ -150,3 +150,32 @@ def test_pallas_rejects_restart_free_large():
     s = parse(buf.getvalue())
     with pytest.raises(JpegUnsupportedError):
         entropy_pallas.entropy_decode(s, CFG)
+
+
+def test_pallas_batched_multi_image():
+    """The batched serving path: segments from several images share one
+    invocation's lanes (grouped by (ri, P, schedule, DHT content) — the
+    compile/SMEM-uniform key). Mixed sizes form separate groups; every
+    image must decode bit-identically to its oracle."""
+    from jpeg_decoder_tpu.models import encoder
+    from jpeg_decoder_tpu.utils.config import EncodeConfig
+
+    rng = np.random.default_rng(123)
+    datas = []
+    for i in range(3):  # same geometry/tables, different content+quality
+        arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        datas.append(encoder.encode(
+            arr,
+            EncodeConfig(quality=85, subsampling="420", restart_interval=2),
+        ))
+    arr = rng.integers(0, 256, (32, 96, 3), dtype=np.uint8)  # second group
+    datas.append(encoder.encode(
+        arr, EncodeConfig(quality=85, subsampling="420", restart_interval=2)
+    ))
+
+    structures = [parse(d) for d in datas]
+    results = entropy_pallas.entropy_decode_batch(structures, CFG)
+    for d, s, (planes, _qts) in zip(datas, structures, results):
+        _, want = _oracle_planes(d)
+        for ci in range(s.frame.ncs):
+            np.testing.assert_array_equal(planes.plane(ci), want.plane(ci))
