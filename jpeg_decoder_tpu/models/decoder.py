@@ -357,9 +357,10 @@ def decode_file(path, cfg: DecodeConfig | None = None) -> DecodedImage:
     /root/reference/src/jpeg_decoder.c:143-177). The whole pipeline
     (parser, prescan, native entropy decode) consumes the mapping
     zero-copy, so bytes page in lazily and the OS can evict them under
-    pressure: peak RSS is bounded by planes + output rather than
-    2x file size — measured on the 0.5-gigapixel artifact
-    (benchmarks/GIGAPIXEL.json)."""
+    pressure: the compressed stream stops counting against the process
+    (measured ~ file-size RSS saving on the 0.5-gigapixel artifact,
+    benchmarks/GIGAPIXEL.json, where the decode working set itself
+    dominates peak RSS)."""
     mm = np.memmap(path, dtype=np.uint8, mode="r")
     try:
         return decode(mm, cfg)
