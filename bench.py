@@ -216,7 +216,8 @@ def main() -> None:
                     f"{r.stderr[-1000:]}")
             # Sharding-overhead-isolated curves (fixed total work,
             # unsharded vs sharded device program — benchmarks/
-            # weak_scaling.py); merged into SCALING.json.
+            # weak_scaling.py); merged into SCALING.json, or written as
+            # the whole artifact if scaling.py failed above.
             r2 = subprocess.run(
                 [sys.executable, "benchmarks/weak_scaling.py"],
                 cwd=Path(__file__).resolve().parent,
@@ -227,9 +228,14 @@ def main() -> None:
                 ws = json.loads(
                     (root / "benchmarks" / "WEAK_SCALING.json").read_text()
                 )
-                sc = json.loads((root / "SCALING.json").read_text())
+                sc_path = root / "SCALING.json"
+                sc = (
+                    json.loads(sc_path.read_text())
+                    if r.returncode == 0 and sc_path.exists()
+                    else {}
+                )
                 sc["sharding_overhead_isolated"] = ws
-                (root / "SCALING.json").write_text(json.dumps(sc, indent=1))
+                sc_path.write_text(json.dumps(sc, indent=1))
                 log("weak-scaling curves merged into SCALING.json")
             else:
                 log(f"weak-scaling artifact FAILED (rc={r2.returncode}):\n"

@@ -318,7 +318,7 @@ def decode_structure(
     if not cfg.use_device:
         with metrics.timer("pixel_host"):
             pixel_planes = oracle.pixels_from_coeffs(frame, planes, qts)
-            if cfg.upsample == "fancy" and frame.ncs > 1:
+            if cfg.upsample == "fancy" and frame.ncs in (3, 4):
                 rgb = _host_fancy_convert(frame, pixel_planes, cfg.quirks)
             else:
                 rgb = oracle.color_convert(frame, pixel_planes, cfg.quirks)
@@ -361,7 +361,14 @@ def decode_file(path, cfg: DecodeConfig | None = None) -> DecodedImage:
     (measured ~ file-size RSS saving on the 0.5-gigapixel artifact,
     benchmarks/GIGAPIXEL.json, where the decode working set itself
     dominates peak RSS)."""
-    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    try:
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+    except ValueError as e:
+        # e.g. a zero-byte file: keep the typed-error contract decode()
+        # has for the same input.
+        from ..utils.errors import JpegFormatError
+
+        raise JpegFormatError(f"cannot map {path}: {e}") from e
     try:
         return decode(mm, cfg)
     finally:

@@ -557,9 +557,11 @@ def scan_span(data: np.ndarray, start: int):
     if rst is None:
         rst = _SCAN_TLS.rst = np.empty(_SCAN_RST_CAP, dtype=np.int64)
     # Stuffed-0xFF density is ~1/256 for typical entropy data; a span//32
-    # cap covers 8x that before falling back.
+    # cap covers 8x that before falling back. Bounded at 8M entries
+    # (64 MB scratch) for multi-GB streams — overflow just means decode
+    # falls back to per-segment memchr unstuffing.
     span = data.shape[0] - start
-    stuff_cap = max(1 << 14, span // 32)
+    stuff_cap = min(max(1 << 14, span // 32), 1 << 23)
     stuff = getattr(_SCAN_TLS, "stuff", None)
     if stuff is None or stuff.shape[0] < stuff_cap:
         stuff = _SCAN_TLS.stuff = np.empty(stuff_cap, dtype=np.int64)

@@ -901,6 +901,11 @@ def entropy_decode_batch(
             raise JpegUnsupportedError(
                 "pallas entropy backend needs restart intervals"
             )
+        if ri * P * 64 * LANES * 2 * 8 > _MAX_GROUP_OUT_BYTES:
+            raise JpegUnsupportedError(
+                f"restart segments too long for the pallas backend"
+                f" ({ri} MCUs/segment); use the native backend"
+            )
         specs, sched, thr, basetabs, symtabs = _scan_tables(scan, params)
         tab_key = tuple(
             (np.asarray(sp.counts, np.uint8).tobytes(),
