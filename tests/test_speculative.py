@@ -164,3 +164,52 @@ def test_speculative_corruption_never_crashes():
             spec_ok = False
         if serial_ok and spec_ok:
             np.testing.assert_array_equal(spec.plane(0), serial.plane(0))
+
+
+def test_multistream_matches_bitreader_engines():
+    """The r3 multi-stream speculative engine vs the single-stream
+    BitReader reference workers (JDT_SPEC_MODE=bitreader): identical
+    planes on clean streams of several shapes, and agreement whenever
+    both succeed on bit-flipped streams."""
+    import os
+
+    rng = np.random.default_rng(99)
+    shapes = [((320, 1024), 0), ((512, 768), 2), ((256, 1280), 1)]
+    datas = [
+        _rgb_jpeg(h, w, seed=int(rng.integers(1 << 30)), subsampling=sub)
+        for (h, w), sub in shapes
+    ]
+    for data in datas:
+        os.environ["JDT_SPEC_MODE"] = "bitreader"
+        try:
+            a, _ = nr.entropy_decode(parse(data), CFG)
+        finally:
+            del os.environ["JDT_SPEC_MODE"]
+        b, _ = nr.entropy_decode(parse(data), CFG)
+        for ci in range(parse(data).frame.ncs):
+            np.testing.assert_array_equal(b.plane(ci), a.plane(ci))
+
+    # corruption agreement: same acceptance and same output when both ok
+    data = datas[1]
+    span = parse(data).scans[0].span
+    for _ in range(12):
+        bad = bytearray(data)
+        pos = int(rng.integers(span.start, span.end))
+        bad[pos] ^= 1 << int(rng.integers(0, 8))
+        bad = bytes(bad)
+
+        def run(mode):
+            if mode:
+                os.environ["JDT_SPEC_MODE"] = mode
+            try:
+                return nr.entropy_decode(parse(bad), CFG)[0]
+            except Exception:
+                return None
+            finally:
+                os.environ.pop("JDT_SPEC_MODE", None)
+
+        a = run("bitreader")
+        b = run(None)
+        if a is not None and b is not None:
+            for ci in range(parse(bad).frame.ncs):
+                np.testing.assert_array_equal(b.plane(ci), a.plane(ci))
