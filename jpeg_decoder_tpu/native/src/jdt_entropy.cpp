@@ -1719,19 +1719,41 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
     int64_t idx = idx_base[t];
     std::array<int32_t, 4> preds = pred_base[t];
     int16_t scratch[64];
-    for (int64_t j = first_valid[t]; j < last_valid[t]; j++, idx++) {
+    // Incrementally-maintained block coordinates per unit-in-MCU (same
+    // pattern as RegStream's ubx/uby): the straightforward form costs four
+    // 64-bit div/mods per DU, which dominates this 128-byte-copy loop.
+    int64_t m0 = idx / P;
+    int u = static_cast<int>(idx % P);
+    int32_t ubx[kRegMaxUnits];
+    int32_t uby[kRegMaxUnits];
+    for (int q = 0; q < P; q++) {
+      const UnitLayout& ul = units[q];
+      int64_t base = m0 * ul.h + ul.k;
+      ubx[q] = static_cast<int32_t>(base % ul.wrap);
+      uby[q] = static_cast<int32_t>((base / ul.wrap) * ul.v + ul.j);
+    }
+    for (int64_t j = first_valid[t]; j < last_valid[t]; j++) {
       const int16_t* du = chunks[t].dus.data() + j * 64;
-      int64_t m = idx / P;
-      const UnitLayout& ul = units[idx % P];
-      int64_t base = m * ul.h + ul.k;
-      int64_t bx = base % ul.wrap;
-      int64_t by = (base / ul.wrap) * ul.v + ul.j;
+      const UnitLayout& ul = units[u];
+      int32_t bx = ubx[u];
+      int32_t by = uby[u];
       int16_t* dst = (by < ul.plane_bh && bx < ul.plane_bw)
-                         ? planes[ul.plane] + (by * ul.plane_bw + bx) * 64
+                         ? planes[ul.plane] + ((int64_t)by * ul.plane_bw + bx) * 64
                          : scratch;
       std::memcpy(dst, du, 64 * sizeof(int16_t));
       preds[ul.scomp] += du[0];
       dst[0] = static_cast<int16_t>(preds[ul.scomp]);
+      if (++u == P) {
+        u = 0;
+        for (int q = 0; q < P; q++) {
+          const UnitLayout& uq = units[q];
+          ubx[q] += uq.h;
+          while (ubx[q] >= uq.wrap) {
+            ubx[q] -= uq.wrap;
+            uby[q] += uq.v;
+          }
+        }
+      }
     }
   };
   // Chunk 0 already decoded directly into the planes; scatter the rest.
