@@ -1613,11 +1613,12 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   for (int t = 0; t + 1 < k; t++) {
     const auto& a = chunks[t].keys;
     const auto& b = chunks[t + 1].keys;
-    int64_t ai = 0, bi = 0, sync_a = -1, sync_b = -1;
-    // advance a to the overlap region
-    while (ai < static_cast<int64_t>(a.size()) &&
-           a[ai] < chunk_bits[t + 1] * P)
-      ai++;
+    int64_t bi = 0, sync_a = -1, sync_b = -1;
+    // advance a to the overlap region (keys are strictly monotone, so a
+    // binary search replaces the linear walk over the whole chunk)
+    int64_t ai = std::lower_bound(a.begin(), a.end(),
+                                  chunk_bits[t + 1] * P) -
+                 a.begin();
     while (ai < static_cast<int64_t>(a.size()) &&
            bi < static_cast<int64_t>(b.size())) {
       if (a[ai] == b[bi]) {
