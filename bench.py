@@ -77,7 +77,72 @@ def make_input() -> bytes:
     return data
 
 
+def _probe_device(timeout_s: int = 120) -> bool:
+    """The axon TPU tunnel can hang indefinitely (observed: even
+    jax.devices() blocks). Probe it in a subprocess with a timeout so an
+    infrastructure outage degrades the bench instead of hanging it."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8, 8)) * 2).sum()))"],
+            timeout=timeout_s, capture_output=True, text=True,
+            env=os.environ,
+        )
+        return r.returncode == 0 and "128.0" in r.stdout
+    except Exception:
+        return False
+
+
+def _host_only_fallback(data: bytes) -> None:
+    """TPU unreachable: measure and report the HOST stage honestly. The
+    pipeline metric is px / max(t_host, t_device); the device stage
+    cannot be measured today, so no pipeline value is claimed — the JSON
+    carries the host rate with an explicit tpu_unreachable flag (r2
+    hardware measurement of the same device stage: 5.72 ms/img EXACT,
+    BENCH_r02.json, well under the host stage)."""
+    from jpeg_decoder_tpu.io.parser import parse
+    from jpeg_decoder_tpu.models import decoder as decoder_mod
+    from jpeg_decoder_tpu.utils.config import DecodeConfig, IdctPrecision
+
+    cfg = DecodeConfig(idct_precision=IdctPrecision.EXACT)
+    px = W * H
+    pool = decoder_mod.PlanePool()
+    structure = parse(data, cfg)
+    planes, qts = decoder_mod._entropy_decode(structure, cfg)  # warm
+    t_host = []
+    for _ in range(21):
+        t0 = time.perf_counter()
+        structure = parse(data, cfg)
+        p = pool.acquire(structure)
+        planes, qts = decoder_mod._entropy_decode(structure, cfg, p)
+        t_host.append(time.perf_counter() - t0)
+        pool.release(planes)
+    t_host_m = float(np.median(t_host))
+    rate = px / t_host_m
+    log(f"TPU tunnel unreachable — host stage only: {t_host_m*1e3:.1f} ms")
+    print(json.dumps({
+        "metric": "decode_4k420_q85_throughput",
+        "value": round(rate / 1e6, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(rate / 1e6 / BASELINE_MPS, 2),
+        "host_ms": round(t_host_m * 1e3, 2),
+        "tpu_unreachable": True,
+        "note": ("device stage unmeasurable (axon tunnel down); value is "
+                 "the measured HOST stage rate, which bounded the r2 "
+                 "pipeline (device EXACT 5.72 ms/img < host, "
+                 "BENCH_r02.json)"),
+    }))
+
+
 def main() -> None:
+    data = make_input()
+    if not _probe_device():
+        _host_only_fallback(data)
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -85,7 +150,6 @@ def main() -> None:
     from jpeg_decoder_tpu.models import decoder as decoder_mod
     from jpeg_decoder_tpu.utils.config import DecodeConfig, IdctPrecision
 
-    data = make_input()
     dev = jax.devices()[0]
     log(f"bench device: {dev.platform}/{dev.device_kind}; file {len(data)/1e6:.1f} MB")
 
