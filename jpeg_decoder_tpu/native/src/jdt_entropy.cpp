@@ -330,6 +330,11 @@ struct ScanContext {
   // nullptr / n_stuff < 0 -> segments re-scan with memchr as before.
   const int64_t* stuff = nullptr;
   int64_t n_stuff = -1;
+  // Raw-window decode (no unstuff copy): saves ~2x the stream's bytes of
+  // memory traffic, which wins under multi-thread bandwidth contention
+  // but loses ~3-5% single-thread (the guard compare sits on the probe
+  // chain and segment bytes are no longer L1-staged). Chosen per call.
+  bool raw_ok = false;
 };
 
 inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
@@ -699,6 +704,21 @@ constexpr int kRegPad = 272;
 struct RegStream {
   std::vector<uint8_t> buf;  // unstuffed bytes + 16 zero-pad
   int64_t len = 0;           // unstuffed length (bits = 8*len)
+  // Raw-window mode (the default when the prescan's stuff index exists):
+  // the stream decodes DIRECTLY from the stuffed stream — no unstuff copy
+  // at all. Window loads use base = data + raw_lo + lf_k (lf_k = stuffs
+  // already passed), valid while no stuffed zero or segment end falls in
+  // the 8-byte window; Lguard is the first logical byte index where that
+  // fails, so the hot path pays exactly ONE predictable compare. The
+  // slow path (reg_win_raw_slow) assembles the window byte-wise, skips
+  // the stuffed zeros, zero-fills past the logical end (identical
+  // semantics to the buffered zero-pad), advances lf_k, and recomputes
+  // Lguard. Buffer mode sets Lguard = INT64_MAX.
+  std::vector<int64_t> lfv;  // logical byte index of each stuffed 0xFF
+  int32_t lf_k = 0;          // stuffs passed by the current window base
+  int64_t raw_lo = 0;        // segment start in stream coords
+  int64_t Lguard = std::numeric_limits<int64_t>::max();
+  const uint8_t* stream_data = nullptr;
   int64_t seg = -1, mcu = 0, mcu_hi = 0;
   int32_t unit = 0, scomp = 0;
   int32_t preds[4];
@@ -724,6 +744,55 @@ __attribute__((always_inline)) static inline uint64_t reg_win(
   uint64_t v;
   std::memcpy(&v, b + (bitpos >> 3), 8);
   return __builtin_bswap64(v) << (bitpos & 7);
+}
+
+// Raw-window decode is OPT-IN (JDT_UNSTUFF=raw): interleaved A/B on the
+// shared dev VM measured it ~0.3 ms FASTER at 4 threads in one session
+// (bandwidth relief) and slower-to-inconclusive in another under heavier
+// ambient noise, while 1-thread is consistently ~3-5% SLOWER (the guard
+// compare rides the probe chain and segments are no longer L1-staged).
+// The buffered copy stays the default until a quiet-machine A/B settles
+// it; the mechanism is kept because it is the only path that removes the
+// last full pass over the stream's bytes.
+static bool raw_win_enabled() {
+  static const bool v = [] {
+    const char* e = std::getenv("JDT_UNSTUFF");
+    return e && std::strcmp(e, "raw") == 0;
+  }();
+  return v;
+}
+
+static void reg_raw_set_guard(RegStream& S) {
+  int64_t g = S.len - 7;  // last L with the full window inside the segment
+  if (S.lf_k < (int32_t)S.lfv.size())
+    g = std::min<int64_t>(g, S.lfv[S.lf_k] - 6);
+  S.Lguard = g;
+}
+
+// Raw-mode slow window: the 8-byte window at logical byte L straddles a
+// stuffed zero and/or the logical end. Assemble byte-wise with the same
+// semantics as the buffered path (stuff zeros skipped, zeros past the
+// end), advance the passed-stuff count, refresh base and Lguard.
+__attribute__((noinline)) static uint64_t reg_win_raw_slow(
+    RegStream& S, int64_t bitpos, const uint8_t*& base) {
+  int64_t L = bitpos >> 3;
+  const int64_t n = (int64_t)S.lfv.size();
+  while (S.lf_k < n && S.lfv[S.lf_k] < L) S.lf_k++;
+  base = S.stream_data + S.raw_lo + S.lf_k;
+  reg_raw_set_guard(S);
+  uint64_t v = 0;
+  int64_t k2 = S.lf_k;
+  for (int j = 0; j < 8; j++) {
+    int64_t Lj = L + j;
+    uint8_t byte = 0;
+    if (Lj < S.len) {
+      byte = S.stream_data[S.raw_lo + Lj + k2];
+      if (k2 < n && S.lfv[k2] == Lj) k2++;  // this byte is the 0xFF of a
+                                            // stuffed pair: skip its zero
+    }
+    v = (v << 8) | byte;
+  }
+  return v << (bitpos & 7);
 }
 
 // Unstuff [lo, hi) into `buf` (segment bounds exclude markers, so every
@@ -822,12 +891,32 @@ __attribute__((noinline)) static bool reg_advance(const ScanContext& c,
 static bool reg_init_segment(const ScanContext& c, RegStream& S,
                              int64_t seg) {
   S.seg = seg;
-  if (c.stuff != nullptr && c.n_stuff >= 0)
-    reg_unstuff_indexed(c.data, c.stuff, c.n_stuff, c.seg_bounds[2 * seg],
-                        c.seg_bounds[2 * seg + 1], S.buf, S.len);
-  else
-    reg_unstuff(c.data + c.seg_bounds[2 * seg],
-                c.data + c.seg_bounds[2 * seg + 1], S.buf, S.len);
+  int64_t lo = c.seg_bounds[2 * seg];
+  int64_t hi = c.seg_bounds[2 * seg + 1];
+  if (c.stuff != nullptr && c.n_stuff >= 0 && c.raw_ok &&
+      raw_win_enabled()) {
+    // Raw-window mode: no unstuff copy at all. Build the segment's
+    // logical-FF index (lf_i = raw_pos_i - lo - i) from the prescan's
+    // stuff slice; window loads run straight off the stuffed stream.
+    const int64_t* f0 = std::lower_bound(c.stuff, c.stuff + c.n_stuff, lo);
+    const int64_t* f1 = std::lower_bound(f0, c.stuff + c.n_stuff, hi);
+    int64_t ns = f1 - f0;
+    S.lfv.resize(ns);
+    for (int64_t i = 0; i < ns; i++) S.lfv[i] = f0[i] - lo - i;
+    S.len = (hi - lo) - ns;
+    S.raw_lo = lo;
+    S.lf_k = 0;
+    S.stream_data = c.data;
+    reg_raw_set_guard(S);
+  } else if (c.stuff != nullptr && c.n_stuff >= 0) {
+    reg_unstuff_indexed(c.data, c.stuff, c.n_stuff, lo, hi, S.buf, S.len);
+    S.stream_data = nullptr;
+    S.Lguard = std::numeric_limits<int64_t>::max();
+  } else {
+    reg_unstuff(c.data + lo, c.data + hi, S.buf, S.len);
+    S.stream_data = nullptr;
+    S.Lguard = std::numeric_limits<int64_t>::max();
+  }
   S.preds[0] = S.preds[1] = S.preds[2] = S.preds[3] = 0;
   int64_t mcu_lo = c.ri ? seg * c.ri : 0;
   S.mcu_hi = c.ri ? std::min<int64_t>(mcu_lo + c.ri, c.total_mcus)
@@ -849,9 +938,11 @@ static bool reg_init_segment(const ScanContext& c, RegStream& S,
 // pointer, AC pair-table pointer) passed by reference so it stays in
 // registers across rounds. Returns 0 = alive, 1 = segment done, -rc error.
 __attribute__((always_inline)) static inline int reg_step(
-    const ScanContext& c, RegStream& S, const uint8_t* base, int64_t len,
+    const ScanContext& c, RegStream& S, const uint8_t*& base, int64_t len,
     int64_t& bp, int32_t& ci, int16_t*& du, const uint64_t*& vac) {
-  uint64_t w = reg_win(base, bp);
+  uint64_t w = __builtin_expect((bp >> 3) >= S.Lguard, 0)
+                   ? reg_win_raw_slow(S, bp, base)
+                   : reg_win(base, bp);
   if (ci == 0) {  // DC: code (<=16) + magnitude (<=15) fit one window
     uint32_t idx = static_cast<uint32_t>(w >> 48);
     uint32_t e = S.dc->lut12[idx >> 4];
@@ -951,11 +1042,16 @@ du_done:
 }
 
 template <int K>
-int32_t reg_run(const ScanContext& c, int32_t n_threads, int64_t* err_out) {
+int32_t reg_run(const ScanContext& c_in, int32_t n_threads,
+                int64_t* err_out) {
+  ScanContext c = c_in;  // cheap: vectors of a few units/luts
   int64_t n = c.n_segs;
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   int workers = static_cast<int>(
       std::min<int64_t>(n_threads, (n + K - 1) / K));
+  // Raw-window mode pays off only when threads contend for bandwidth;
+  // single-worker decode keeps the L1-staging copy (measured A/B).
+  c.raw_ok = workers >= 2;
   std::atomic<int64_t> next(0);
   std::atomic<int32_t> status(JDT_OK);
   std::atomic<int64_t> err_seg(-1), err_mcu_a(-1);
@@ -981,7 +1077,9 @@ int32_t reg_run(const ScanContext& c, int32_t n_threads, int64_t* err_out) {
         if (s >= n || status.load(std::memory_order_relaxed) != JDT_OK)
           return false;
         if (reg_init_segment(c, st[k], s)) {
-          base[k] = st[k].buf.data();
+          base[k] = st[k].stream_data != nullptr
+                        ? st[k].stream_data + st[k].raw_lo
+                        : st[k].buf.data();
           len[k] = st[k].len;
           bp[k] = 0;
           ci[k] = 0;
