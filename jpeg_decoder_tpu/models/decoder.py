@@ -203,13 +203,21 @@ class PlanePool:
         return True
 
     def acquire(self, structure: JpegStructure) -> CoefficientPlanes:
-        frame = structure.frame
+        return self.acquire_for(
+            structure.frame, self._full_coverage(structure)
+        )
+
+    def acquire_for(
+        self, frame: FrameHeader, full_coverage: bool
+    ) -> CoefficientPlanes:
+        """Pool acquire with the coverage decision precomputed (the fused
+        host path knows it from the header parse alone)."""
         with self._lock:
             free = self._pool.get(frame)
             planes = free.pop() if free else None
         if planes is None:
             return CoefficientPlanes(frame)
-        if not self._full_coverage(structure):
+        if not full_coverage:
             for p in planes.planes:
                 p.fill(0)
         return planes
@@ -274,6 +282,149 @@ def _entropy_decode(
 
 
 # ---------------------------------------------------------------------------
+# Fused host path (header-prefix cache + one-call native prescan+decode)
+# ---------------------------------------------------------------------------
+
+
+def _tail_clean(data: np.ndarray, p: int) -> bool:
+    """True iff the markers after the first scan's entropy span are only
+    what parse() would record-or-ignore without affecting decode output:
+    EOI / end of stream, fill bytes, stray non-FF bytes, TEM/SOI/RSTn,
+    reserved 0x02-0xBF, and length-skipped APPn/COM/DAC/JPG/DHP/EXP
+    segments (parse keeps APPn payloads in structure.app_segments, which
+    DecodedImage does not carry). Anything structural — a second SOS, DHT,
+    DQT, DRI, DNL, SOFn — means the stream is multi-scan or redefines
+    state, and the caller falls back to the classic full parse."""
+    from ..io.markers import Marker, is_app, is_rst, is_sof
+
+    n = data.shape[0]
+    while p < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        while p + 1 < n and data[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= n:
+            return True
+        marker = int(data[p + 1])
+        seg = p + 2
+        if marker == Marker.EOI:
+            return True
+        if marker == Marker.SOI or is_rst(marker) or marker == Marker.TEM:
+            p = seg
+        elif 0x02 <= marker <= 0xBF:
+            p = seg
+        elif is_app(marker) or marker in (
+            Marker.COM, Marker.DAC, Marker.DHP, Marker.EXP
+        ) or (Marker.JPG0 <= marker <= Marker.JPG13):
+            if seg + 2 > n:
+                return False  # truncated length field: let parse() raise
+            length = int(data[seg]) << 8 | int(data[seg + 1])
+            if length < 2 or seg + length > n:
+                return False  # malformed: classic path raises the error
+            p = seg + length
+        else:
+            return False  # SOS/DHT/DQT/DRI/DNL/SOFn/JPG or unknown marker
+    return True
+
+
+def _fast_host_decode(
+    data: np.ndarray, cfg: DecodeConfig, pool: "PlanePool | None" = None
+):
+    """One-scan sequential native decode without building a JpegStructure:
+    cached header parse + fused native prescan+decode + a tail-marker check.
+    Returns (frame, planes, qts) or None when the stream/config needs the
+    classic parse+decode path (which handles everything). Bit-identical to
+    the classic path by construction — same LUTs, same segment rules, same
+    native kernels (differential test: tests/test_fused_path.py)."""
+    if cfg.entropy_backend != EntropyBackend.NATIVE:
+        return None
+    from ..native import runtime as native_runtime
+
+    if not native_runtime.available():
+        return None
+    from ..io import parser as parser_mod
+
+    with metrics.timer("parse"):
+        hp = parser_mod.parse_headers_cached(data, cfg)
+    if hp is None:
+        return None
+    frame = hp.frame
+    if hp.layout is None:
+        # Lazily computed per cached header: unit params + decode LUTs
+        # (flat_lut_for_spec content-caches the tables themselves).
+        from ..core.types import Scan
+
+        scan = Scan(
+            header=hp.scan_header,
+            span=None,  # layout never touches the span
+            restart_interval=hp.restart_interval,
+            dc_tables=hp.dc_tables,
+            ac_tables=hp.ac_tables,
+            quant_tables=hp.quant_tables,
+        )
+        structure_shim = _StructureShim(frame)
+        hp.layout = native_runtime.scan_layout(structure_shim, scan)
+    total_mcus, params, luts = hp.layout
+    if pool is not None:
+        planes = pool.acquire_for(frame, hp.full_coverage)
+    else:
+        planes = CoefficientPlanes(frame)
+    allow_spec = (
+        hp.restart_interval == 0
+        and cfg.num_threads != 1
+        and total_mcus * params.shape[0] >= 4096
+    )
+    with metrics.timer("entropy_native"):
+        end, _n_segs = native_runtime.scan_decode_fused(
+            data, hp.entropy_start, total_mcus, hp.restart_interval,
+            params, luts, planes, cfg, allow_spec,
+        )
+    if not _tail_clean(data, end):
+        # Multi-scan / DNL / trailing table stream (rare): the planes are
+        # partially or fully written, but the classic path re-acquires and
+        # zero-fills when coverage requires it, then re-decodes every scan.
+        if pool is not None:
+            pool.release(planes)
+        return None
+    return frame, planes, hp.qts
+
+
+class _StructureShim:
+    """Minimal stand-in for JpegStructure in scan_layout (which reads only
+    .frame); the fused path has no full structure to give it."""
+
+    __slots__ = ("frame",)
+
+    def __init__(self, frame: FrameHeader):
+        self.frame = frame
+
+
+def host_decode(
+    data: bytes | np.ndarray,
+    cfg: DecodeConfig | None = None,
+    pool: "PlanePool | None" = None,
+) -> tuple[FrameHeader, CoefficientPlanes, dict[int, np.ndarray]]:
+    """The HOST stage of the serving pipeline: parse + entropy decode only,
+    returning (frame, coefficient planes, qtid -> natural-order tables) —
+    exactly what the device stage consumes. Uses the fused native path when
+    the stream is a one-scan sequential JPEG (the serving shape), else the
+    classic parse + per-scan decode. `pool` enables plane reuse."""
+    cfg = cfg or DecodeConfig()
+    from ..io import bitstream as bs
+
+    data = bs.as_byte_array(data)
+    fast = _fast_host_decode(data, cfg, pool)
+    if fast is not None:
+        return fast
+    with metrics.timer("parse"):
+        structure = parse(data, cfg)
+    planes = pool.acquire(structure) if pool is not None else None
+    planes, qts = _entropy_decode(structure, cfg, planes)
+    return structure.frame, planes, qts
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -314,7 +465,16 @@ def decode_structure(
     cfg = cfg or DecodeConfig()
     frame = structure.frame
     planes, qts = _entropy_decode(structure, cfg)
+    return _pixel_stage(frame, planes, qts, cfg)
 
+
+def _pixel_stage(
+    frame: FrameHeader,
+    planes: CoefficientPlanes,
+    qts: dict[int, np.ndarray],
+    cfg: DecodeConfig,
+) -> DecodedImage:
+    """Coefficient planes -> DecodedImage (device or host pixel path)."""
     if not cfg.use_device:
         with metrics.timer("pixel_host"):
             pixel_planes = oracle.pixels_from_coeffs(frame, planes, qts)
@@ -341,8 +501,15 @@ def decode_structure(
 def decode(data: bytes | np.ndarray, cfg: DecodeConfig | None = None) -> DecodedImage:
     """Decode one JPEG byte stream end to end."""
     cfg = cfg or DecodeConfig()
+    from ..io import bitstream as bs
+
+    data_arr = bs.as_byte_array(data)
+    fast = _fast_host_decode(data_arr, cfg)
+    if fast is not None:
+        frame, planes, qts = fast
+        return _pixel_stage(frame, planes, qts, cfg)
     with metrics.timer("parse"):
-        structure = parse(data, cfg)
+        structure = parse(data_arr, cfg)
     return decode_structure(structure, cfg)
 
 

@@ -37,13 +37,21 @@ CXX_FLAGS = [
 ]
 
 
+def _pair_shift_flag() -> str:
+    """The pair-table window width lives in core/huffman.PAIR_BITS; the
+    kernel's index shift must match or every AC probe misdecodes."""
+    from ..core.huffman import PAIR_BITS
+
+    return f"-DJDT_PAIR_SHIFT={64 - PAIR_BITS}"
+
+
 def _source_hash() -> str:
     h = hashlib.sha256()
     for name in SOURCES:
         p = SRC_DIR / name
         if p.exists():
             h.update(p.read_bytes())
-    h.update(" ".join(CXX_FLAGS).encode())
+    h.update(" ".join([*CXX_FLAGS, _pair_shift_flag()]).encode())
     return h.hexdigest()[:16]
 
 
@@ -66,7 +74,7 @@ def build(force: bool = False) -> Path | None:
     # processes may build concurrently (multi-host serving), and a reader
     # must never dlopen a half-written .so.
     tmp = out.with_suffix(f".tmp.{os.getpid()}")
-    cmd = ["g++", *CXX_FLAGS, *march, *srcs, "-o", str(tmp)]
+    cmd = ["g++", *CXX_FLAGS, _pair_shift_flag(), *march, *srcs, "-o", str(tmp)]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired) as e:

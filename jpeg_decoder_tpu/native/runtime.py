@@ -37,6 +37,7 @@ _STATUS = {
     2: "coefficient index out of range",
     3: "entropy data truncated",
     4: "bad native-call argument",
+    5: "restart-marker count inconsistent with restart interval",
 }
 
 
@@ -146,7 +147,23 @@ def _load():
             ctypes.c_int32,                        # n_threads
             i64p, ctypes.c_int64, i64p,            # stuff_out, max, n_out
         ]
-        if lib.jdt_version() != 9:
+        lib.jdt_scan_decode.restype = ctypes.c_int32
+        lib.jdt_scan_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,   # data, n, start
+            ctypes.c_int64, ctypes.c_int64,        # total_mcus, ri
+            i32pp, ctypes.c_int32,                 # unit_params, n_units
+            ctypes.POINTER(u16p),                  # lut12s
+            ctypes.POINTER(u16p),                  # lut16s
+            ctypes.POINTER(i32pp),                 # vluts
+            ctypes.POINTER(u64pp),                 # vlut2s
+            ctypes.c_int32,                        # n_luts
+            ctypes.POINTER(i16pp),                 # planes
+            ctypes.c_int32,                        # n_threads
+            ctypes.c_int32,                        # allow_spec
+            i64p, i64p,                            # end_out, n_segs_out
+            i64p,                                  # err_out [seg, mcu]
+        ]
+        if lib.jdt_version() != 10:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -533,6 +550,76 @@ def decode_scan_native(
             f" (segment {err[0]}, mcu {err[1]})",
             mcu=int(err[1]),
         )
+
+
+def scan_decode_fused(
+    data: np.ndarray,
+    start: int,
+    total_mcus: int,
+    ri: int,
+    params: np.ndarray,
+    luts,
+    planes: CoefficientPlanes,
+    cfg: DecodeConfig,
+    allow_spec: bool,
+) -> tuple[int, int]:
+    """Fused prescan + sequential scan decode (jdt_scan_decode): one native
+    call finds the scan's entropy span (restart cuts, stuff index, scan
+    terminator) and decodes it segment-parallel — no Python round trip
+    between prescan and decode. Returns (entropy_end, n_segments) so the
+    caller's marker walk resumes after the scan. Raises JpegEntropyError
+    with the same typed contract as decode_scan_native (+_check_segments:
+    status 5 is the restart-structure mismatch both would raise)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = np.ascontiguousarray(data)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lut12s, lut16s, vluts, _pvluts, vlut2s = _lut_ptr_arrays(luts)
+    plane_ptrs = _plane_ptr_array(planes)
+    params_c = np.ascontiguousarray(params, dtype=np.int32)
+    end = ctypes.c_int64(0)
+    n_segs = ctypes.c_int64(0)
+    err = np.full(2, -1, dtype=np.int64)
+    rc = lib.jdt_scan_decode(
+        data.ctypes.data_as(u8p),
+        data.shape[0],
+        start,
+        total_mcus,
+        ri,
+        params_c.ctypes.data_as(i32p),
+        params_c.shape[0],
+        lut12s,
+        lut16s,
+        vluts,
+        vlut2s,
+        len(luts),
+        plane_ptrs,
+        cfg.num_threads,
+        1 if allow_spec else 0,
+        ctypes.byref(end),
+        ctypes.byref(n_segs),
+        err.ctypes.data_as(i64p),
+    )
+    if rc == 5:
+        if ri == 0:
+            raise JpegEntropyError(
+                f"{n_segs.value - 1} restart markers in scan but restart"
+                " interval 0"
+            )
+        raise JpegEntropyError(
+            f"scan has {n_segs.value} restart segments, expected"
+            f" {-(-total_mcus // ri)}"
+        )
+    if rc != 0:
+        raise JpegEntropyError(
+            f"native entropy decode failed: {_STATUS.get(rc, rc)}"
+            f" (segment {err[0]}, mcu {err[1]})",
+            mcu=int(err[1]),
+        )
+    return int(end.value), int(n_segs.value)
 
 
 _SCAN_RST_CAP = 1 << 17  # plenty for any realistic restart count

@@ -38,6 +38,15 @@
 #include <chrono>
 #include <vector>
 
+// Pair-table window width: index = top (64 - JDT_PAIR_SHIFT) bits of the
+// bit window. Must match core/huffman.PAIR_BITS (native/build.py passes
+// -DJDT_PAIR_SHIFT=64-PAIR_BITS and folds it into the build hash). The
+// kind/field extractions below (>> 52/53) are the vlut2 VALUE layout and
+// do not depend on the window width.
+#ifndef JDT_PAIR_SHIFT
+#define JDT_PAIR_SHIFT 52
+#endif
+
 namespace {
 
 enum JdtStatus : int32_t {
@@ -46,6 +55,7 @@ enum JdtStatus : int32_t {
   JDT_ERR_COEF_RANGE = 2,  // coefficient index out of range
   JDT_ERR_TRUNCATED = 3,   // ran off the end of entropy data
   JDT_ERR_BAD_ARG = 4,
+  JDT_ERR_SEG_COUNT = 5,   // restart-marker count inconsistent with DRI
 };
 
 // ---------------------------------------------------------------------------
@@ -330,11 +340,6 @@ struct ScanContext {
   // nullptr / n_stuff < 0 -> segments re-scan with memchr as before.
   const int64_t* stuff = nullptr;
   int64_t n_stuff = -1;
-  // Raw-window decode (no unstuff copy): saves ~2x the stream's bytes of
-  // memory traffic, which wins under multi-thread bandwidth contention
-  // but loses ~3-5% single-thread (the guard compare sits on the probe
-  // chain and segment bytes are no longer L1-staged). Chosen per call.
-  bool raw_ok = false;
 };
 
 inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
@@ -379,7 +384,7 @@ inline int decode_du_sequential(BitReader& br, const HuffLut& dc,
     // per-kind dispatch on the 4K q85 stream (mispredicts dominate).
     uint64_t en;
     for (;;) {
-      en = ac.vlut2[static_cast<uint32_t>(br.buf >> 52)];
+      en = ac.vlut2[static_cast<uint32_t>(br.buf >> JDT_PAIR_SHIFT)];
       int off2 = (en >> 36) & 63;
       if ((((en >> 53) & 3) != 0) | (i + off2 > 63)) break;
       du[i + ((en >> 32) & 15)] = static_cast<int16_t>(en & 0xFFFF);
@@ -702,23 +707,14 @@ constexpr int kRegMaxUnits = 10;  // JPEG A.2.4: sum of hsf*vsf per scan <= 10
 constexpr int kRegPad = 272;
 
 struct RegStream {
-  std::vector<uint8_t> buf;  // unstuffed bytes + 16 zero-pad
+  std::vector<uint8_t> buf;  // unstuffed bytes + kRegPad zero-pad
   int64_t len = 0;           // unstuffed length (bits = 8*len)
-  // Raw-window mode (the default when the prescan's stuff index exists):
-  // the stream decodes DIRECTLY from the stuffed stream — no unstuff copy
-  // at all. Window loads use base = data + raw_lo + lf_k (lf_k = stuffs
-  // already passed), valid while no stuffed zero or segment end falls in
-  // the 8-byte window; Lguard is the first logical byte index where that
-  // fails, so the hot path pays exactly ONE predictable compare. The
-  // slow path (reg_win_raw_slow) assembles the window byte-wise, skips
-  // the stuffed zeros, zero-fills past the logical end (identical
-  // semantics to the buffered zero-pad), advances lf_k, and recomputes
-  // Lguard. Buffer mode sets Lguard = INT64_MAX.
-  std::vector<int64_t> lfv;  // logical byte index of each stuffed 0xFF
-  int32_t lf_k = 0;          // stuffs passed by the current window base
-  int64_t raw_lo = 0;        // segment start in stream coords
-  int64_t Lguard = std::numeric_limits<int64_t>::max();
-  const uint8_t* stream_data = nullptr;
+  // (A raw-window variant that decoded straight off the stuffed stream —
+  // no unstuff copy, one guard compare on the probe chain — was built and
+  // retired in round 4: quiet-machine interleaved A/B measured it a WASH
+  // at 4 threads and consistently 3-5% slower at 1 thread, while its
+  // guard compare taxed the buffered path too. The unstuff copy doubles
+  // as L1 cache staging; see docs/PERF.md.)
   int64_t seg = -1, mcu = 0, mcu_hi = 0;
   int32_t unit = 0, scomp = 0;
   int32_t preds[4];
@@ -744,55 +740,6 @@ __attribute__((always_inline)) static inline uint64_t reg_win(
   uint64_t v;
   std::memcpy(&v, b + (bitpos >> 3), 8);
   return __builtin_bswap64(v) << (bitpos & 7);
-}
-
-// Raw-window decode is OPT-IN (JDT_UNSTUFF=raw): interleaved A/B on the
-// shared dev VM measured it ~0.3 ms FASTER at 4 threads in one session
-// (bandwidth relief) and slower-to-inconclusive in another under heavier
-// ambient noise, while 1-thread is consistently ~3-5% SLOWER (the guard
-// compare rides the probe chain and segments are no longer L1-staged).
-// The buffered copy stays the default until a quiet-machine A/B settles
-// it; the mechanism is kept because it is the only path that removes the
-// last full pass over the stream's bytes.
-static bool raw_win_enabled() {
-  static const bool v = [] {
-    const char* e = std::getenv("JDT_UNSTUFF");
-    return e && std::strcmp(e, "raw") == 0;
-  }();
-  return v;
-}
-
-static void reg_raw_set_guard(RegStream& S) {
-  int64_t g = S.len - 7;  // last L with the full window inside the segment
-  if (S.lf_k < (int32_t)S.lfv.size())
-    g = std::min<int64_t>(g, S.lfv[S.lf_k] - 6);
-  S.Lguard = g;
-}
-
-// Raw-mode slow window: the 8-byte window at logical byte L straddles a
-// stuffed zero and/or the logical end. Assemble byte-wise with the same
-// semantics as the buffered path (stuff zeros skipped, zeros past the
-// end), advance the passed-stuff count, refresh base and Lguard.
-__attribute__((noinline)) static uint64_t reg_win_raw_slow(
-    RegStream& S, int64_t bitpos, const uint8_t*& base) {
-  int64_t L = bitpos >> 3;
-  const int64_t n = (int64_t)S.lfv.size();
-  while (S.lf_k < n && S.lfv[S.lf_k] < L) S.lf_k++;
-  base = S.stream_data + S.raw_lo + S.lf_k;
-  reg_raw_set_guard(S);
-  uint64_t v = 0;
-  int64_t k2 = S.lf_k;
-  for (int j = 0; j < 8; j++) {
-    int64_t Lj = L + j;
-    uint8_t byte = 0;
-    if (Lj < S.len) {
-      byte = S.stream_data[S.raw_lo + Lj + k2];
-      if (k2 < n && S.lfv[k2] == Lj) k2++;  // this byte is the 0xFF of a
-                                            // stuffed pair: skip its zero
-    }
-    v = (v << 8) | byte;
-  }
-  return v << (bitpos & 7);
 }
 
 // Unstuff [lo, hi) into `buf` (segment bounds exclude markers, so every
@@ -893,29 +840,10 @@ static bool reg_init_segment(const ScanContext& c, RegStream& S,
   S.seg = seg;
   int64_t lo = c.seg_bounds[2 * seg];
   int64_t hi = c.seg_bounds[2 * seg + 1];
-  if (c.stuff != nullptr && c.n_stuff >= 0 && c.raw_ok &&
-      raw_win_enabled()) {
-    // Raw-window mode: no unstuff copy at all. Build the segment's
-    // logical-FF index (lf_i = raw_pos_i - lo - i) from the prescan's
-    // stuff slice; window loads run straight off the stuffed stream.
-    const int64_t* f0 = std::lower_bound(c.stuff, c.stuff + c.n_stuff, lo);
-    const int64_t* f1 = std::lower_bound(f0, c.stuff + c.n_stuff, hi);
-    int64_t ns = f1 - f0;
-    S.lfv.resize(ns);
-    for (int64_t i = 0; i < ns; i++) S.lfv[i] = f0[i] - lo - i;
-    S.len = (hi - lo) - ns;
-    S.raw_lo = lo;
-    S.lf_k = 0;
-    S.stream_data = c.data;
-    reg_raw_set_guard(S);
-  } else if (c.stuff != nullptr && c.n_stuff >= 0) {
+  if (c.stuff != nullptr && c.n_stuff >= 0) {
     reg_unstuff_indexed(c.data, c.stuff, c.n_stuff, lo, hi, S.buf, S.len);
-    S.stream_data = nullptr;
-    S.Lguard = std::numeric_limits<int64_t>::max();
   } else {
     reg_unstuff(c.data + lo, c.data + hi, S.buf, S.len);
-    S.stream_data = nullptr;
-    S.Lguard = std::numeric_limits<int64_t>::max();
   }
   S.preds[0] = S.preds[1] = S.preds[2] = S.preds[3] = 0;
   int64_t mcu_lo = c.ri ? seg * c.ri : 0;
@@ -940,9 +868,7 @@ static bool reg_init_segment(const ScanContext& c, RegStream& S,
 __attribute__((always_inline)) static inline int reg_step(
     const ScanContext& c, RegStream& S, const uint8_t*& base, int64_t len,
     int64_t& bp, int32_t& ci, int16_t*& du, const uint64_t*& vac) {
-  uint64_t w = __builtin_expect((bp >> 3) >= S.Lguard, 0)
-                   ? reg_win_raw_slow(S, bp, base)
-                   : reg_win(base, bp);
+  uint64_t w = reg_win(base, bp);
   if (ci == 0) {  // DC: code (<=16) + magnitude (<=15) fit one window
     uint32_t idx = static_cast<uint32_t>(w >> 48);
     uint32_t e = S.dc->lut12[idx >> 4];
@@ -962,7 +888,7 @@ __attribute__((always_inline)) static inline int reg_step(
     ci = 1;
     return 0;
   }
-  uint64_t en = vac[static_cast<uint32_t>(w >> 52)];
+  uint64_t en = vac[static_cast<uint32_t>(w >> JDT_PAIR_SHIFT)];
   int off2 = (en >> 36) & 63;
   if (((((en >> 53) & 3) != 0) | (ci + off2 > 63)) == 0) {
     du[ci + ((en >> 32) & 15)] = static_cast<int16_t>(en & 0xFFFF);
@@ -1042,16 +968,12 @@ du_done:
 }
 
 template <int K>
-int32_t reg_run(const ScanContext& c_in, int32_t n_threads,
+int32_t reg_run(const ScanContext& c, int32_t n_threads,
                 int64_t* err_out) {
-  ScanContext c = c_in;  // cheap: vectors of a few units/luts
   int64_t n = c.n_segs;
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   int workers = static_cast<int>(
       std::min<int64_t>(n_threads, (n + K - 1) / K));
-  // Raw-window mode pays off only when threads contend for bandwidth;
-  // single-worker decode keeps the L1-staging copy (measured A/B).
-  c.raw_ok = workers >= 2;
   std::atomic<int64_t> next(0);
   std::atomic<int32_t> status(JDT_OK);
   std::atomic<int64_t> err_seg(-1), err_mcu_a(-1);
@@ -1077,9 +999,7 @@ int32_t reg_run(const ScanContext& c_in, int32_t n_threads,
         if (s >= n || status.load(std::memory_order_relaxed) != JDT_OK)
           return false;
         if (reg_init_segment(c, st[k], s)) {
-          base[k] = st[k].stream_data != nullptr
-                        ? st[k].stream_data + st[k].raw_lo
-                        : st[k].buf.data();
+          base[k] = st[k].buf.data();
           len[k] = st[k].len;
           bp[k] = 0;
           ci[k] = 0;
@@ -1413,7 +1333,7 @@ __attribute__((always_inline)) static inline int spec_step(
     }
   }
   {
-    uint64_t en = vac[static_cast<uint32_t>(w >> 52)];
+    uint64_t en = vac[static_cast<uint32_t>(w >> JDT_PAIR_SHIFT)];
     int off2 = (en >> 36) & 63;
     if (((((en >> 53) & 3) != 0) | (ci + off2 > 63)) == 0) {
       du[ci + ((en >> 32) & 15)] = static_cast<int16_t>(en & 0xFFFF);
@@ -1870,34 +1790,17 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   return JDT_OK;
 }
 
-}  // namespace
-
-extern "C" {
-
-int32_t jdt_version() { return 9; }
-
-// Entropy-span prescan: find where a scan's entropy bytes end and every
-// in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),
-// restart marker (0xD0-0xD7), fill byte (next 0xFF, spec B.1.1.2), or the
-// scan terminator. memchr-based: the libc SIMD scan replaces the NumPy
-// whole-buffer passes (io/bitstream.scan_entropy_span is the semantic
-// reference; both must classify identically). Returns 0 on success, 1 if
-// more than max_rst restart markers were found (caller falls back).
-// stuff_out (optional, may be null): offsets of each stuffed 0xFF, for the
-// index-driven unstuff in the decode stage; *n_stuff_out = -1 signals
-// overflow past max_stuff (decode falls back to per-segment memchr).
-int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
-                      int64_t* end_out, int64_t* rst_out, int64_t max_rst,
-                      int64_t* n_rst_out, int32_t n_threads,
-                      int64_t* stuff_out, int64_t max_stuff,
-                      int64_t* n_stuff_out) {
-  // 0xFF classification is LOCAL (each 0xFF is judged by its next byte),
-  // so the walk parallelizes by byte chunks: the only boundary hazard is a
-  // pair straddling a chunk edge, resolved by one look-back byte (a chunk
-  // whose predecessor ends in a consumed 0xFF skips its first byte). Large
-  // single-scan spans split across the worker pool; small/multi-scan spans
-  // (where chunks past this scan's end would re-scan the next scan's
-  // bytes) stay serial.
+// Chunk-parallel entropy-span prescan core, shared by jdt_scan_span (the
+// classic parse-time entry) and jdt_scan_decode (the fused prescan+decode
+// entry). 0xFF classification is LOCAL (each 0xFF is judged by its next
+// byte), so the walk parallelizes by byte chunks: the only boundary hazard
+// is a pair straddling a chunk edge, resolved by one look-back byte (a
+// chunk whose predecessor ends in a consumed 0xFF skips its first byte).
+// Large single-scan spans split across the worker pool; small spans stay
+// serial. Results go to vectors (no caps).
+void scan_span_core(const uint8_t* data, int64_t n, int64_t start,
+                    int32_t n_threads, int64_t* end_out,
+                    std::vector<int64_t>& rst, std::vector<int64_t>* stuff) {
   int64_t span = n - start;
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   int C = 1;
@@ -1930,7 +1833,7 @@ int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
       }
       uint8_t nxt = data[i + 1];
       if (nxt == 0x00) {
-        if (stuff_out != nullptr) r.stuff.push_back(i);
+        if (stuff != nullptr) r.stuff.push_back(i);
         i += 2;  // stuffed
       } else if (nxt >= 0xD0 && nxt <= 0xD7) {
         r.rst.push_back(i);
@@ -1949,28 +1852,153 @@ int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
     pool_run(C, scan_chunk);
   }
   int64_t end = n;
-  int64_t nr = 0;
-  int64_t ns = 0;
   for (int t = 0; t < C; t++) {
-    for (int64_t v : res[t].rst) {
-      if (nr < max_rst) rst_out[nr] = v;
-      nr++;
-    }
-    if (stuff_out != nullptr) {
-      for (int64_t v : res[t].stuff) {
-        if (ns < max_stuff) stuff_out[ns++] = v;
-        else ns = max_stuff + 1;  // overflow: flag below, stop storing
-      }
-    }
+    rst.insert(rst.end(), res[t].rst.begin(), res[t].rst.end());
+    if (stuff != nullptr)
+      stuff->insert(stuff->end(), res[t].stuff.begin(), res[t].stuff.end());
     if (res[t].end >= 0) {
       end = res[t].end;
       break;  // later chunks scanned past this scan's end: discard
     }
   }
   *end_out = end;
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t jdt_version() { return 10; }
+
+// Entropy-span prescan: find where a scan's entropy bytes end and every
+// in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),
+// restart marker (0xD0-0xD7), fill byte (next 0xFF, spec B.1.1.2), or the
+// scan terminator. memchr-based: the libc SIMD scan replaces the NumPy
+// whole-buffer passes (io/bitstream.scan_entropy_span is the semantic
+// reference; both must classify identically). Returns 0 on success, 1 if
+// more than max_rst restart markers were found (caller falls back).
+// stuff_out (optional, may be null): offsets of each stuffed 0xFF, for the
+// index-driven unstuff in the decode stage; *n_stuff_out = -1 signals
+// overflow past max_stuff (decode falls back to per-segment memchr).
+int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
+                      int64_t* end_out, int64_t* rst_out, int64_t max_rst,
+                      int64_t* n_rst_out, int32_t n_threads,
+                      int64_t* stuff_out, int64_t max_stuff,
+                      int64_t* n_stuff_out) {
+  std::vector<int64_t> rst;
+  std::vector<int64_t> stuff;
+  scan_span_core(data, n, start, n_threads, end_out, rst,
+                 stuff_out != nullptr ? &stuff : nullptr);
+  int64_t nr = static_cast<int64_t>(rst.size());
+  std::memcpy(rst_out, rst.data(),
+              static_cast<size_t>(std::min(nr, max_rst)) * sizeof(int64_t));
   *n_rst_out = nr;
-  if (n_stuff_out != nullptr) *n_stuff_out = ns > max_stuff ? -1 : ns;
+  if (stuff_out != nullptr) {
+    int64_t ns = static_cast<int64_t>(stuff.size());
+    if (ns > max_stuff) {
+      *n_stuff_out = -1;  // overflow: decode falls back to memchr unstuff
+    } else {
+      std::memcpy(stuff_out, stuff.data(),
+                  static_cast<size_t>(ns) * sizeof(int64_t));
+      *n_stuff_out = ns;
+    }
+  } else if (n_stuff_out != nullptr) {
+    *n_stuff_out = -1;
+  }
   return nr > max_rst ? 1 : 0;
+}
+
+// Fused prescan + sequential decode: one native call runs the entropy-span
+// prescan (restart cuts, stuffed-0xFF index, scan terminator) and the
+// segment-parallel decode, eliminating the per-image Python round trip
+// between them (scan_span wrapper + offset-array copies + Scan-object
+// rebuild, ~0.4 ms/image on the 4K serving path). The span end is returned
+// so the caller's marker walk can resume after the scan.
+//
+// allow_spec: when the scan has no restart markers, attempt the
+// speculative self-synchronizing chunk-parallel decode first (same engine
+// as jdt_decode_sequential_spec); it verifies its own sync and falls back
+// to the serial path inside this call on any anomaly.
+//
+// Returns JDT_OK or a decode status; JDT_ERR_SEG_COUNT means the restart
+// marker count is inconsistent with `ri` (caller raises the same typed
+// error the classic path does, with *n_segs_out for the message).
+int32_t jdt_scan_decode(const uint8_t* data, int64_t n, int64_t start,
+                        int64_t total_mcus, int64_t ri,
+                        const int32_t* unit_params, int32_t n_units,
+                        const uint16_t* const* lut12s,
+                        const uint16_t* const* lut16s,
+                        const int32_t* const* vluts,
+                        const uint64_t* const* vlut2s, int32_t n_luts,
+                        int16_t** planes, int32_t n_threads,
+                        int32_t allow_spec, int64_t* end_out,
+                        int64_t* n_segs_out, int64_t* err_out) {
+  if (n_units <= 0 || n_luts <= 0 || total_mcus <= 0 || start < 0 ||
+      start > n)
+    return JDT_ERR_BAD_ARG;
+  std::vector<int64_t> rst;
+  std::vector<int64_t> stuff;
+  scan_span_core(data, n, start, n_threads, end_out, rst, &stuff);
+  int64_t end = *end_out;
+  int64_t n_segs = static_cast<int64_t>(rst.size()) + 1;
+  *n_segs_out = n_segs;
+  // Same structure rule as the Python _check_segments: restart markers
+  // with no DRI would desync the reference; a count mismatch against
+  // ceil(total_mcus / ri) is malformed.
+  if (ri == 0) {
+    if (n_segs != 1) return JDT_ERR_SEG_COUNT;
+  } else if (n_segs != (total_mcus + ri - 1) / ri) {
+    return JDT_ERR_SEG_COUNT;
+  }
+  std::vector<int64_t> bounds(2 * n_segs);
+  int64_t s = start;
+  for (int64_t i = 0; i < n_segs - 1; i++) {
+    bounds[2 * i] = s;
+    bounds[2 * i + 1] = rst[i];
+    s = rst[i] + 2;
+  }
+  bounds[2 * (n_segs - 1)] = s;
+  bounds[2 * (n_segs - 1) + 1] = end;
+
+  std::vector<UnitLayout> units_v(n_units);
+  for (int32_t u = 0; u < n_units; u++) {
+    const int32_t* q = unit_params + u * 11;
+    units_v[u] = UnitLayout{q[0], q[1], q[2], q[3], q[4], q[5],
+                            q[6], q[7], q[8], q[9], q[10]};
+  }
+  std::vector<HuffLut> luts_v(n_luts);
+  for (int32_t t = 0; t < n_luts; t++)
+    luts_v[t] = HuffLut{lut12s[t], lut16s[t], vluts[t], nullptr,
+                        vlut2s != nullptr ? vlut2s[t] : nullptr};
+
+  int resolved = n_threads > 0
+                     ? n_threads
+                     : static_cast<int>(std::thread::hardware_concurrency());
+  if (n_segs == 1 && allow_spec && resolved > 1 &&
+      total_mcus * n_units >= 4096) {
+    int rc = decode_speculative(data, start, end, total_mcus, units_v,
+                                luts_v, planes, n_threads, stuff.data(),
+                                static_cast<int64_t>(stuff.size()));
+    if (rc != JDT_ERR_BAD_ARG) return rc;  // OK or a real decode error
+    // BAD_ARG = could not apply/synchronize: serial fallback below
+    // (chunk 0 decoded directly into the planes, but the serial pass
+    // overwrites every block the scan covers).
+  }
+
+  ScanContext c;
+  c.data = data;
+  c.seg_bounds = bounds.data();
+  c.n_segs = n_segs;
+  c.total_mcus = total_mcus;
+  c.ri = ri;
+  c.units = std::move(units_v);
+  c.luts = std::move(luts_v);
+  c.planes = planes;
+  c.stuff = stuff.data();
+  c.n_stuff = static_cast<int64_t>(stuff.size());
+  if (n_segs >= 2 && n_units <= kRegMaxUnits)
+    return reg_run<4>(c, n_threads, err_out);
+  return run_segments(c, n_threads, err_out, decode_segment_sequential);
 }
 
 // Sequential (baseline/extended) scan, segment-parallel.
@@ -1998,17 +2026,11 @@ int32_t jdt_decode_sequential(const uint8_t* data, const int64_t* seg_bounds,
   // segment has no second stream to interleave — the BitReader drain loop
   // is faster there (67 ms vs 81 ms).
   if (n_segs >= 2 && n_units <= kRegMaxUnits) {
-    // JDT_REG_K: experiment hook for the streams-per-worker sweep.
-    if (const char* e = std::getenv("JDT_REG_K")) {
-      switch (std::atoi(e)) {
-        case 2: return reg_run<2>(c, n_threads, err_out);
-        case 3: return reg_run<3>(c, n_threads, err_out);
-        case 5: return reg_run<5>(c, n_threads, err_out);
-        case 6: return reg_run<6>(c, n_threads, err_out);
-        case 8: return reg_run<8>(c, n_threads, err_out);
-        default: break;
-      }
-    }
+    // K=4 streams per worker: the sweep plateau, confirmed three times
+    // (K=2/3/4/5/6/8 = 41.8/36.5/34.6/34.5/35.9/36.3 ms 1-thread, and a
+    // K=4-vs-5 tie at 4 threads on a quiet machine — docs/PERF.md). The
+    // JDT_REG_K re-sweep hook was retired in round 4; re-instantiate
+    // reg_run<K> here to re-measure on new hardware.
     return reg_run<4>(c, n_threads, err_out);
   }
   return run_segments(c, n_threads, err_out, decode_segment_sequential);
