@@ -127,7 +127,10 @@ def _parse_dht(
     key = data[off : off + length].tobytes()
     hit = _DHT_CACHE.get(key)
     if hit is not None:
-        return hit, end
+        # Shallow copy: the specs inside are shared but their arrays are
+        # frozen (writeable=False below), so a future in-place tweak fails
+        # loudly instead of corrupting every other parse of the same bytes.
+        return list(hit), end
     p = off + 2
     tables = []
     while p < end:
@@ -141,12 +144,14 @@ def _parse_dht(
         if p + 17 > end:
             raise JpegTruncatedError("DHT counts truncated", offset=p)
         counts = data[p + 1 : p + 17].copy()
+        counts.flags.writeable = False
         total = int(counts.sum())
         if total > 256:
             raise JpegFormatError("DHT has more than 256 symbols", offset=p)
         if p + 17 + total > end:
             raise JpegTruncatedError("DHT symbols truncated", offset=p)
         symbols = data[p + 17 : p + 17 + total].copy()
+        symbols.flags.writeable = False
         tables.append(
             HuffTableSpec(
                 table_class=table_class,
@@ -176,7 +181,7 @@ def _parse_dqt(data: np.ndarray, off: int) -> tuple[list[tuple[int, QuantTable]]
     key = data[off : off + length].tobytes()
     hit = _DQT_CACHE.get(key)
     if hit is not None:
-        return hit, end
+        return list(hit), end  # shallow copy; values arrays frozen below
     p = off + 2
     out = []
     while p < end:
@@ -197,6 +202,7 @@ def _parse_dqt(data: np.ndarray, off: int) -> tuple[list[tuple[int, QuantTable]]
             zz_vals = raw.astype(np.uint16)
         natural = np.zeros(64, dtype=np.uint16)
         natural[ZIGZAG] = zz_vals
+        natural.flags.writeable = False
         out.append((table_id, QuantTable(precision=precision, values=natural)))
         p += 1 + n
     if len(_DQT_CACHE) >= _SEG_CACHE_CAP:

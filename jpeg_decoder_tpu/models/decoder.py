@@ -530,9 +530,10 @@ def decode_file(path, cfg: DecodeConfig | None = None) -> DecodedImage:
     dominates peak RSS)."""
     try:
         mm = np.memmap(path, dtype=np.uint8, mode="r")
-    except ValueError as e:
-        # e.g. a zero-byte file: keep the typed-error contract decode()
-        # has for the same input.
+    except (ValueError, OSError) as e:
+        # ValueError: e.g. a zero-byte file; OSError/FileNotFoundError: a
+        # missing or unreadable path. Both stay inside the typed-error
+        # contract decode() has for the same input.
         from ..utils.errors import JpegFormatError
 
         raise JpegFormatError(f"cannot map {path}: {e}") from e

@@ -104,3 +104,38 @@ def test_decode_file_memmap_matches_bytes(tmp_path):
     want = jt.decode(data).rgb
     got = jt.decode_file(p).rgb
     np.testing.assert_array_equal(got, want)
+
+def test_decode_file_missing_path_is_typed(tmp_path):
+    """A missing or unreadable path raises JpegFormatError, not a bare
+    FileNotFoundError — decode_file keeps the same typed-error contract
+    decode() has (advisor r3 finding)."""
+    import pytest
+
+    import jpeg_decoder_tpu as jt
+    from jpeg_decoder_tpu.utils.errors import JpegFormatError
+
+    with pytest.raises(JpegFormatError):
+        jt.decode_file(tmp_path / "does-not-exist.jpg")
+
+
+def test_parsed_table_cache_is_frozen():
+    """Cached DHT/DQT parse results hand out frozen arrays and fresh list
+    objects, so an in-place tweak by one caller cannot corrupt another
+    parse of the same bytes (advisor r3 finding)."""
+    import pytest
+
+    from jpeg_decoder_tpu.io import parser
+    from tests import corpus
+
+    name, data = corpus.baseline_corpus()[0]
+    scan = parser.parse(data).scans[0]
+    # The spec objects may be shared across parses of identical bytes, but
+    # their arrays must refuse in-place writes.
+    qt = next(iter(scan.quant_tables.values()))
+    with pytest.raises(ValueError):
+        qt.values[0] = 99
+    spec = next(iter(scan.dc_tables.values()))
+    with pytest.raises(ValueError):
+        spec.counts[0] = 1
+    with pytest.raises(ValueError):
+        spec.symbols[0] = 1
