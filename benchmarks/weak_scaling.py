@@ -49,11 +49,14 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def _med_times_ab(fa, fb, repeat=9):
-    """Interleaved A/B medians (the shared VM's noise drifts on ~100 ms
+def _med_times_ab(fa, fb, repeat=21):
+    """Interleaved A/B timing (the shared VM's noise drifts on ~100 ms
     scales, so alternating trials is the only fair comparison — the
-    mesh=1 control row must read ~1.0)."""
+    mesh=1 control row must read ~1.0). Returns (med_a, med_b, stats)
+    where stats carries p25/p75 for both sides so a reader can judge
+    whether an efficiency away from 1.0 clears the noise band."""
     fa(), fb()  # warm/compile
+    fa(), fb()  # second warm: first post-compile run still pays caches
     ta, tb = [], []
     for _ in range(repeat):
         t0 = time.perf_counter()
@@ -62,7 +65,13 @@ def _med_times_ab(fa, fb, repeat=9):
         t0 = time.perf_counter()
         jax.block_until_ready(fb())
         tb.append(time.perf_counter() - t0)
-    return float(np.median(ta)), float(np.median(tb))
+    stats = {
+        "a_p25_ms": round(float(np.percentile(ta, 25)) * 1e3, 2),
+        "a_p75_ms": round(float(np.percentile(ta, 75)) * 1e3, 2),
+        "b_p25_ms": round(float(np.percentile(tb, 25)) * 1e3, 2),
+        "b_p75_ms": round(float(np.percentile(tb, 75)) * 1e3, 2),
+    }
+    return float(np.median(ta)), float(np.median(tb)), stats
 
 
 def main() -> int:
@@ -116,16 +125,29 @@ def main() -> int:
         stagen = batch_mod._batched_stage(key, meshn, ncs)
         shn = mesh_mod.batch_sharding(meshn)
         arrsn = [jax.device_put(a, shn) for a in batches]
-        tu, ts_ = _med_times_ab(lambda: stage1(*arrs1),
-                                lambda: stagen(*arrsn))
-        dp_records.append({
+        tu, ts_, stats = _med_times_ab(lambda: stage1(*arrs1),
+                                       lambda: stagen(*arrsn))
+        rec = {
             "mesh_devices": n,
             "total_images": b,
             "t_unsharded_ms": round(tu * 1e3, 2),
             "t_sharded_ms": round(ts_ * 1e3, 2),
             "sharding_efficiency": round(tu / ts_, 3),
-        })
-        print(json.dumps(dp_records[-1]), flush=True)
+        }
+        rec.update(stats)
+        if n == 1:
+            rec["control"] = True  # identical program both sides: ~1.0
+        elif tu / ts_ > 1.05:
+            rec["note"] = (
+                "efficiency > 1 is a host-threading artifact of the "
+                "virtual CPU mesh: XLA:CPU dispatches the N per-shard "
+                "executables concurrently (one runtime stream per "
+                "virtual device) while the 1-device program runs as a "
+                "single executable with less cross-op overlap; real "
+                "chips cannot exceed 1.0 this way"
+            )
+        dp_records.append(rec)
+        print(json.dumps(rec), flush=True)
 
     # ---- SP curve: striped stage, fixed MCU rows per stripe --------------
     sp_records = []
@@ -154,15 +176,19 @@ def main() -> int:
             ]
             prepared.append((stage, arrs))
         (st1, a1), (stn, an) = prepared
-        tu, ts_ = _med_times_ab(lambda: st1(*a1), lambda: stn(*an))
-        sp_records.append({
+        tu, ts_, stats = _med_times_ab(lambda: st1(*a1), lambda: stn(*an))
+        rec = {
             "mesh_devices": n,
             "height_px": h,
             "t_unsharded_ms": round(tu * 1e3, 2),
             "t_sharded_ms": round(ts_ * 1e3, 2),
             "sharding_efficiency": round(tu / ts_, 3),
-        })
-        print(json.dumps(sp_records[-1]), flush=True)
+        }
+        rec.update(stats)
+        if n == 1:
+            rec["control"] = True  # identical partitioning both sides
+        sp_records.append(rec)
+        print(json.dumps(rec), flush=True)
 
     result = {
         "platform": jax.devices()[0].platform,

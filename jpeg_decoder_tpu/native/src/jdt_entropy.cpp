@@ -1106,16 +1106,59 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
 // ---------------------------------------------------------------------------
 
 struct SpecChunk {
+  // Backing storage is cursor-addressed: `n` DUs are valid, the vectors
+  // are capacity (sized >= n, possibly larger from arena reuse). The hot
+  // multistream loop writes through raw pointers + one cursor increment —
+  // three push_backs plus a 128-byte vector::insert per DU cost ~9 header
+  // read-modify-writes and a libc memmove dispatch, measurable at this
+  // loop's ~0.2 us/DU budget.
   std::vector<int16_t> dus;   // 64 per DU, du[0] = DC DIFF (fits int16:
                               // a single EXTEND is <= 15 bits)
   std::vector<int32_t> dcs;   // compact copy of each DU's DC diff — the
                               // prefix pass reads these 4B/DU instead of
                               // touching every 128B staging cache line
   std::vector<int64_t> keys;  // global unstuffed bitpos * P + phase per DU
+  int64_t n = 0;              // valid DU count
   bool error = false;
 };
 
 constexpr int64_t kOverrunBits = 24 * 1024;  // overlap window per boundary
+
+// Recycled staging memory for the speculative engine. The per-chunk DU
+// staging (~2 MB/chunk) and unstuffed-chunk buffers (~0.4 MB/chunk) exceed
+// glibc's mmap threshold, so allocating them fresh each call means the
+// kernel maps, zero-fills, and unmaps ~25 MB per image: measured 6,506
+// minor faults per 4K no-DRI decode vs 12 on the DRI path, costing several
+// ms of fault/zeroing time inside the hot workers. The arena keeps the
+// vectors alive across calls (clear() preserves capacity), dropping the
+// steady-state fault count to ~0. One arena, mutex-guarded: a concurrent
+// second caller falls back to fresh local vectors (correct, just cold).
+struct SpecArena {
+  std::vector<SpecChunk> chunks;
+  std::vector<std::vector<uint8_t>> bufs;  // per-chunk unstuffed bytes
+  bool in_use = false;
+};
+static std::mutex g_spec_arena_mu;
+static SpecArena g_spec_arena;
+
+struct SpecArenaLease {
+  SpecArena* a = nullptr;
+  SpecArena local;  // fallback when the shared arena is busy
+  SpecArenaLease() {
+    std::lock_guard<std::mutex> lk(g_spec_arena_mu);
+    if (!g_spec_arena.in_use) {
+      g_spec_arena.in_use = true;
+      a = &g_spec_arena;
+    }
+  }
+  ~SpecArenaLease() {
+    if (a == &g_spec_arena) {
+      std::lock_guard<std::mutex> lk(g_spec_arena_mu);
+      g_spec_arena.in_use = false;
+    }
+  }
+  SpecArena& get() { return a ? *a : local; }
+};
 
 // When `planes` is non-null the worker is the EXACT chunk-0 chain: its
 // alignment, phase, and DC predictors are ground truth from the first bit,
@@ -1148,13 +1191,23 @@ void speculative_worker(const uint8_t* data, int64_t scan_start,
   int16_t stage[64];
   int16_t scratch[64];
   const bool direct = planes != nullptr;
-  if (!direct) out->dus.reserve(static_cast<size_t>(reserve_hint) * 64);
+  // Cursor-addressed staging (same contract as the multistream engine):
+  // backing sized up front, raw writes, out->n set at the end.
+  int64_t n = 0;
+  int64_t cap0 = reserve_hint + 4096;
+  if (static_cast<int64_t>(out->keys.size()) < cap0) {
+    out->keys.resize(cap0);
+    out->dcs.resize(cap0);
+  }
+  if (!direct && out->dus.size() < out->keys.size() * 64)
+    out->dus.resize(out->keys.size() * 64);
+  int64_t cap = static_cast<int64_t>(out->keys.size());
   int64_t retries = 0;
   constexpr int64_t kMaxRetries = 1 << 16;
   int phase = 0;  // unit-within-MCU hypothesis for the NEXT data unit
   int rot = 0;    // phase rotations already tried at the current bit
   int32_t preds[4] = {0, 0, 0, 0};  // live predictors (direct mode only)
-  while (static_cast<int64_t>(out->keys.size()) < max_dus) {
+  while (n < max_dus) {
     int64_t pos = global_unstuffed_base + br.unstuffed_pos();
     if (pos >= stop_after_bits) break;
     BitReader at_start = br;  // snapshot for resync on failure
@@ -1163,7 +1216,7 @@ void speculative_worker(const uint8_t* data, int64_t scan_start,
     int32_t dc_diff = 0;
     int32_t* pred = &dc_diff;  // DC stored as diff: fresh predictor per DU
     if (direct) {
-      int64_t idx = static_cast<int64_t>(out->keys.size());
+      int64_t idx = n;
       int64_t base = (idx / P) * ul.h + ul.k;
       int64_t bx = base % ul.wrap;
       int64_t by = (base / ul.wrap) * ul.v + ul.j;
@@ -1210,22 +1263,30 @@ void speculative_worker(const uint8_t* data, int64_t scan_start,
       continue;
     }
     rot = 0;
-    out->keys.push_back(pos * P + phase);
-    if (direct) {
-      out->dcs.push_back(*pred - dc_diff);  // store the DIFF, not the value
-    } else {
-      out->dcs.push_back(du[0]);
-      out->dus.insert(out->dus.end(), du, du + 64);
+    if (n == cap) {
+      cap = cap * 2 + 1024;
+      out->keys.resize(cap);
+      out->dcs.resize(cap);
+      if (!direct) out->dus.resize(cap * 64);
     }
+    out->keys[n] = pos * P + phase;
+    if (direct) {
+      out->dcs[n] = *pred - dc_diff;  // store the DIFF, not the value
+    } else {
+      out->dcs[n] = du[0];
+      std::memcpy(out->dus.data() + n * 64, du, 64 * sizeof(int16_t));
+    }
+    n++;
     phase = (phase + 1) % P;
     if (br.overran()) break;  // consuming fabricated padding: stream over
   }
+  out->n = n;
   if (std::getenv("JDT_DEBUG")) {
     auto t1 = std::chrono::steady_clock::now();
-    std::fprintf(stderr, "[spec] worker base=%lld: %.2fms %zu dus\n",
+    std::fprintf(stderr, "[spec] worker base=%lld: %.2fms %lld dus\n",
                  (long long)global_unstuffed_base,
                  std::chrono::duration<double, std::milli>(t1 - t0).count(),
-                 out->keys.size());
+                 (long long)n);
   }
 }
 
@@ -1248,8 +1309,9 @@ constexpr int kSpecK = 4;
 constexpr int64_t kMaxSpecRetries = 1 << 16;
 
 struct SpecStream {
-  std::vector<uint8_t> buf;  // unstuffed chunk bytes + kRegPad zeros
-  int64_t len = 0;           // unstuffed length (real bytes)
+  const uint8_t* buf = nullptr;  // unstuffed chunk bytes + kRegPad zeros
+                                 // (storage owned by the SpecArena)
+  int64_t len = 0;               // unstuffed length (real bytes)
   int64_t bp = 0;            // bit cursor in buf
   int64_t bp_du = 0;         // bp at the current DU's start (resync point)
   int32_t ci = 0;
@@ -1276,12 +1338,34 @@ struct SpecStream {
   int32_t dc_diff = 0;
   int16_t** planes = nullptr;
   SpecChunk* out = nullptr;
+  // Raw staging cursors mirroring out->{keys,dcs,dus} (each chunk is owned
+  // by exactly one stream; S.n is written back to out->n as it goes via
+  // spec_grow / the final flush in du_done's callers).
+  int64_t n = 0;
+  int64_t cap = 0;
+  int64_t* keys_w = nullptr;
+  int32_t* dcs_w = nullptr;
+  int16_t* dus_w = nullptr;
 };
+
+// Rare: staging capacity exhausted (a desynced stream inventing tiny fake
+// DUs can exceed the expected-count estimate). Amortized doubling.
+__attribute__((noinline)) static void spec_grow(SpecStream& S) {
+  int64_t nc = S.cap * 2 + 1024;
+  SpecChunk& ch = *S.out;
+  ch.keys.resize(nc);
+  ch.dcs.resize(nc);
+  if (!S.direct) ch.dus.resize(nc * 64);
+  S.cap = nc;
+  S.keys_w = ch.keys.data();
+  S.dcs_w = ch.dcs.data();
+  S.dus_w = ch.dus.data();
+}
 
 static void spec_set_du(SpecStream& S) {
   const UnitLayout& ul = (*S.units)[S.phase];
   if (S.direct) {
-    int64_t idx = static_cast<int64_t>(S.out->keys.size());
+    int64_t idx = S.n;
     int64_t base = (idx / S.P) * ul.h + ul.k;
     int64_t bx = base % ul.wrap;
     int64_t by = (base / ul.wrap) * ul.v + ul.j;
@@ -1399,14 +1483,16 @@ __attribute__((always_inline)) static inline int spec_step(
     }
   }
 du_done: {
+  if (__builtin_expect(S.n == S.cap, 0)) spec_grow(S);
   int64_t pos = S.base_bits + S.bp_du;
-  S.out->keys.push_back(pos * S.P + S.phase);
+  S.keys_w[S.n] = pos * S.P + S.phase;
   if (S.direct) {
-    S.out->dcs.push_back(*S.pred - S.pred_du0);  // store the DIFF
+    S.dcs_w[S.n] = *S.pred - S.pred_du0;  // store the DIFF
   } else {
-    S.out->dcs.push_back(du[0]);
-    S.out->dus.insert(S.out->dus.end(), du, du + 64);
+    S.dcs_w[S.n] = du[0];
+    std::memcpy(S.dus_w + S.n * 64, du, 64 * sizeof(int16_t));
   }
+  S.n++;
   S.rot = 0;
   // Consumed fabricated zero padding: the stream is over (mirrors the
   // BitReader loop's push-then-break on overran()).
@@ -1414,7 +1500,7 @@ du_done: {
   S.phase = (S.phase + 1) % S.P;
   S.bp_du = bp;
   ci = 0;
-  if (static_cast<int64_t>(S.out->keys.size()) >= S.max_dus) return 1;
+  if (S.n >= S.max_dus) return 1;
   if (S.base_bits + bp >= S.stop_bits) return 1;
   spec_set_du(S);
   du = S.du;
@@ -1505,9 +1591,20 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
 
   const bool dbg = std::getenv("JDT_DEBUG") != nullptr;
   auto t_setup = std::chrono::steady_clock::now();
-  std::vector<SpecChunk> chunks(k);
+  SpecArenaLease lease;
+  SpecArena& arena = lease.get();
+  if (static_cast<int>(arena.chunks.size()) < k) arena.chunks.resize(k);
+  if (static_cast<int>(arena.bufs.size()) < k) arena.bufs.resize(k);
+  for (int t = 0; t < k; t++) {
+    // Cursor reset only — the backing vectors keep their SIZE (not just
+    // capacity) so the per-call ensure-resize never re-zero-fills them.
+    arena.chunks[t].n = 0;
+    arena.chunks[t].error = false;
+  }
+  SpecChunk* chunks = arena.chunks.data();
   if (multistream) {
     pool_run(workers, [&](int wslot) {
+      auto tsetup0 = std::chrono::steady_clock::now();
       // Worker wslot owns chunks {t : t % workers == wslot}, interleaved
       // as concurrent streams (cross-stream ILP hides the probe chains,
       // same structure as reg_run: hot state in register-resident locals,
@@ -1537,10 +1634,12 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
                                chunk_byte[t + 1] + kOverrunBits / 8 + 4096,
                                scan_end)
                          : scan_end;
+        std::vector<uint8_t>& bufv = arena.bufs[t];  // recycled across calls
         if (stuff != nullptr && n_stuff >= 0)
-          reg_unstuff_indexed(data, stuff, n_stuff, lo, hi, S.buf, S.len);
+          reg_unstuff_indexed(data, stuff, n_stuff, lo, hi, bufv, S.len);
         else
-          reg_unstuff(data + lo, data + hi, S.buf, S.len);
+          reg_unstuff(data + lo, data + hi, bufv, S.len);
+        S.buf = bufv.data();
         S.base_bits = base;
         S.stop_bits = (t + 1 < k) ? chunk_bits[t + 1] + kOverrunBits
                                   : std::numeric_limits<int64_t>::max();
@@ -1552,9 +1651,26 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
         S.exact = (t == 0);
         S.planes = planes;
         S.out = &chunks[t];
-        if (!S.direct)
-          S.out->dus.reserve(
-              static_cast<size_t>(total_dus / k + 4096) * 64);
+        // Cursor-addressed staging: size the backing once (arena reuse
+        // keeps it across calls), write through raw pointers.
+        {
+          SpecChunk& ch = *S.out;
+          int64_t cap0 = total_dus / k + 4096;
+          if (static_cast<int64_t>(ch.keys.size()) < cap0) {
+            ch.keys.resize(cap0);
+            ch.dcs.resize(cap0);
+          }
+          // dus must cover the full keys capacity (an arena slot may have
+          // grown keys while serving as the direct chunk, which never
+          // sizes dus).
+          if (!S.direct && ch.dus.size() < ch.keys.size() * 64)
+            ch.dus.resize(ch.keys.size() * 64);
+          S.n = 0;
+          S.cap = static_cast<int64_t>(ch.keys.size());
+          S.keys_w = ch.keys.data();
+          S.dcs_w = ch.dcs.data();
+          S.dus_w = ch.dus.data();
+        }
         spec_set_du(S);
       }
       const uint8_t* base[kSpecK];
@@ -1564,7 +1680,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
       const uint64_t* vac[kSpecK];
       uint32_t livemask = 0;
       for (int i = 0; i < n_st && i < kSpecK; i++) {
-        base[i] = st[i].buf.data();
+        base[i] = st[i].buf;
         bp[i] = 0;
         ci[i] = 0;
         du[i] = st[i].du;
@@ -1578,20 +1694,28 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
           if (!(livemask & (1u << i))) continue;
           if (__builtin_expect(
                   spec_step(st[i], base[i], bp[i], ci[i], du[i], vac[i]),
-                  0))
+                  0)) {
             livemask &= ~(1u << i);
+            st[i].out->n = st[i].n;  // flush the staging cursor
+          }
         }
       }
+      // NOTE: no per-iteration instrumentation inside the loop above — even
+      // a dbg-guarded clock call in the body forces the compiler to spill
+      // the register-resident stream state across a potential call,
+      // measured at ~2x on the whole loop.
       if (dbg) {
         auto tw1 = std::chrono::steady_clock::now();
+        auto ms = [&](auto a, auto b) {
+          return std::chrono::duration<double, std::milli>(b - a).count();
+        };
         int64_t rt = 0, dus = 0;
-        for (auto& S : st) { rt += S.retries; dus += S.out->keys.size(); }
+        for (auto& S : st) { rt += S.retries; dus += S.out->n; }
         std::fprintf(stderr,
-                     "[spec] mworker %d: %.2fms %lld dus %lld retries\n",
-                     wslot,
-                     std::chrono::duration<double, std::milli>(tw1 - tw0)
-                         .count(),
-                     (long long)dus, (long long)rt);
+                     "[spec] mworker %d: setup=%.2fms loop=%.2fms %lld dus "
+                     "%lld retries\n",
+                     wslot, ms(tsetup0, tw0), ms(tw0, tw1), (long long)dus,
+                     (long long)rt);
       }
     });
   } else {
@@ -1612,12 +1736,12 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
       std::fprintf(stderr,
                    "[spec] chunk %d: base=%lld dus=%zu err=%d first=%lld "
                    "last=%lld\n",
-                   t, (long long)chunk_bits[t], chunks[t].keys.size(),
+                   t, (long long)chunk_bits[t], (size_t)chunks[t].n,
                    (int)chunks[t].error,
-                   chunks[t].keys.empty() ? -1LL
-                                          : (long long)chunks[t].keys.front(),
-                   chunks[t].keys.empty() ? -1LL
-                                          : (long long)chunks[t].keys.back());
+                   chunks[t].n == 0 ? -1LL : (long long)chunks[t].keys[0],
+                   chunks[t].n == 0
+                       ? -1LL
+                       : (long long)chunks[t].keys[chunks[t].n - 1]);
     }
   }
 
@@ -1629,16 +1753,15 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   std::vector<int64_t> first_valid(k, 0), last_valid(k, 0);
   first_valid[0] = 0;
   for (int t = 0; t + 1 < k; t++) {
-    const auto& a = chunks[t].keys;
-    const auto& b = chunks[t + 1].keys;
+    const int64_t* a = chunks[t].keys.data();
+    const int64_t an = chunks[t].n;
+    const int64_t* b = chunks[t + 1].keys.data();
+    const int64_t bn = chunks[t + 1].n;
     int64_t bi = 0, sync_a = -1, sync_b = -1;
     // advance a to the overlap region (keys are strictly monotone, so a
     // binary search replaces the linear walk over the whole chunk)
-    int64_t ai = std::lower_bound(a.begin(), a.end(),
-                                  chunk_bits[t + 1] * P) -
-                 a.begin();
-    while (ai < static_cast<int64_t>(a.size()) &&
-           bi < static_cast<int64_t>(b.size())) {
+    int64_t ai = std::lower_bound(a, a + an, chunk_bits[t + 1] * P) - a;
+    while (ai < an && bi < bn) {
       if (a[ai] == b[bi]) {
         sync_a = ai;
         sync_b = bi;
@@ -1659,7 +1782,7 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
     last_valid[t] = sync_a;          // chunk t contributes [first, sync_a)
     first_valid[t + 1] = sync_b;     // chunk t+1 valid from sync_b on
   }
-  last_valid[k - 1] = static_cast<int64_t>(chunks[k - 1].keys.size());
+  last_valid[k - 1] = chunks[k - 1].n;
   // The last worker has no DU-count target of its own and may run into the
   // stream's 1-fill padding after the final real data unit (flagging a
   // truncation "error") — trailing overshoot is trimmed by the global
@@ -1890,16 +2013,19 @@ int32_t jdt_scan_span(const uint8_t* data, int64_t n, int64_t start,
   scan_span_core(data, n, start, n_threads, end_out, rst,
                  stuff_out != nullptr ? &stuff : nullptr);
   int64_t nr = static_cast<int64_t>(rst.size());
-  std::memcpy(rst_out, rst.data(),
-              static_cast<size_t>(std::min(nr, max_rst)) * sizeof(int64_t));
+  int64_t nc = std::min(nr, max_rst);
+  if (nc > 0)  // empty vector: .data() may be null (UB for memcpy even n=0)
+    std::memcpy(rst_out, rst.data(),
+                static_cast<size_t>(nc) * sizeof(int64_t));
   *n_rst_out = nr;
   if (stuff_out != nullptr) {
     int64_t ns = static_cast<int64_t>(stuff.size());
     if (ns > max_stuff) {
       *n_stuff_out = -1;  // overflow: decode falls back to memchr unstuff
     } else {
-      std::memcpy(stuff_out, stuff.data(),
-                  static_cast<size_t>(ns) * sizeof(int64_t));
+      if (ns > 0)
+        std::memcpy(stuff_out, stuff.data(),
+                    static_cast<size_t>(ns) * sizeof(int64_t));
       *n_stuff_out = ns;
     }
   } else if (n_stuff_out != nullptr) {

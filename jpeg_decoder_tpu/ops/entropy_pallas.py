@@ -860,6 +860,30 @@ def decode_scan_pallas(structure, scan, planes: CoefficientPlanes, cfg,
                    ri, P, interpret)
 
 
+def batchable(structure) -> bool:
+    """True when entropy_decode_batch can decode this structure: a
+    single-scan sequential stream whose restart segments fit the lockstep
+    kernel. Mirrors entropy_decode_batch's guards without raising, so the
+    serving path (parallel.batch.BatchDecoder) can partition a mixed batch
+    into device-resident members and honest per-image fallbacks."""
+    frame = structure.frame
+    if frame.process == Encoding.PROGRESSIVE_DCT or len(structure.scans) != 1:
+        return False
+    scan = structure.scans[0]
+    try:
+        total_mcus, params, _ = scan_layout(structure, scan)
+        _check_segments(scan, total_mcus)
+    except Exception:
+        return False
+    ri = scan.restart_interval or total_mcus
+    P = params.shape[0]
+    if scan.restart_interval == 0 and total_mcus > 256:
+        return False
+    if ri * P * 64 * LANES * 2 * 8 > _MAX_GROUP_OUT_BYTES:
+        return False
+    return True
+
+
 def entropy_decode_batch(
     structures,
     cfg: DecodeConfig,

@@ -179,3 +179,71 @@ def test_pallas_batched_multi_image():
         _, want = _oracle_planes(d)
         for ci in range(s.frame.ncs):
             np.testing.assert_array_equal(planes.plane(ci), want.plane(ci))
+
+
+def test_batchdecoder_pallas_serving_path():
+    """The serving wire-up (VERDICT r3 item 3): BatchDecoder with
+    EntropyBackend.PALLAS routes every batchable member of a stream
+    through entropy_decode_batch (segments of ALL images share G=8
+    invocations) and falls back per-image for members the lockstep kernel
+    cannot hold. End-to-end decode_stream over 8 DRI images must be
+    bit-identical to the oracle pipeline."""
+    import jpeg_decoder_tpu as jt
+    from jpeg_decoder_tpu.models import encoder
+    from jpeg_decoder_tpu.parallel.batch import BatchDecoder
+    from jpeg_decoder_tpu.utils.config import (
+        DecodeConfig, EncodeConfig, EntropyBackend,
+    )
+
+    rng = np.random.default_rng(7)
+    datas = []
+    for _ in range(8):
+        arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        datas.append(encoder.encode(
+            arr,
+            EncodeConfig(quality=85, subsampling="420", restart_interval=2),
+        ))
+    cfg = DecodeConfig(entropy_backend=EntropyBackend.PALLAS)
+    dec = BatchDecoder(cfg)
+    got = np.concatenate(list(dec.decode_stream(datas, batch_size=4)))
+    assert got.shape == (8, 48, 64, 3)
+    for d, g in zip(datas, got):
+        want = jt.decode_oracle(d).rgb
+        np.testing.assert_array_equal(g, want)
+
+
+def test_batchdecoder_pallas_mixed_fallback():
+    """A batch mixing DRI members (device-batchable) with a restart-free
+    member (not batchable) must still decode every image correctly: the
+    restart-free one takes the native host fallback inside the same
+    batch."""
+    import jpeg_decoder_tpu as jt
+    from jpeg_decoder_tpu.models import encoder
+    from jpeg_decoder_tpu.parallel.batch import BatchDecoder
+    from jpeg_decoder_tpu.utils.config import (
+        DecodeConfig, EncodeConfig, EntropyBackend,
+    )
+    from jpeg_decoder_tpu.ops import entropy_pallas
+    from jpeg_decoder_tpu.io.parser import parse as parse_structure
+
+    rng = np.random.default_rng(11)
+    # 128x1024 4:2:0 = 8x64 = 512 MCUs: a restart-free member exceeds the
+    # lockstep kernel's 256-MCU single-lane bound and must fall back.
+    arrs = [rng.integers(0, 256, (128, 1024, 3), dtype=np.uint8)
+            for _ in range(3)]
+    datas = [
+        encoder.encode(arrs[0], EncodeConfig(
+            quality=85, subsampling="420", restart_interval=2)),
+        # restart-free, > 256 MCUs: rejected by the lockstep kernel
+        encoder.encode(arrs[1], EncodeConfig(
+            quality=85, subsampling="420")),
+        encoder.encode(arrs[2], EncodeConfig(
+            quality=85, subsampling="420", restart_interval=2)),
+    ]
+    flags = [entropy_pallas.batchable(parse_structure(d)) for d in datas]
+    assert flags == [True, False, True]
+    cfg = DecodeConfig(entropy_backend=EntropyBackend.PALLAS)
+    got = BatchDecoder(cfg).decode_batch(datas)
+    for d, g in zip(datas, got):
+        want = jt.decode_oracle(d).rgb
+        np.testing.assert_array_equal(g, want)
