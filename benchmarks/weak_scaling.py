@@ -58,13 +58,20 @@ def _med_times_ab(fa, fb, repeat=21):
     fa(), fb()  # warm/compile
     fa(), fb()  # second warm: first post-compile run still pays caches
     ta, tb = [], []
-    for _ in range(repeat):
+    for i in range(repeat):
+        # ABBA ordering: alternate which side runs first so any
+        # within-pair systematic (allocator state, cache residue from the
+        # previous trial) cancels instead of biasing one side — the r3
+        # artifact's mesh=1 control read 0.885/1.17 purely from this.
+        first, flist, second, slist = (
+            (fa, ta, fb, tb) if i % 2 == 0 else (fb, tb, fa, ta)
+        )
         t0 = time.perf_counter()
-        jax.block_until_ready(fa())
-        ta.append(time.perf_counter() - t0)
+        jax.block_until_ready(first())
+        flist.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        jax.block_until_ready(fb())
-        tb.append(time.perf_counter() - t0)
+        jax.block_until_ready(second())
+        slist.append(time.perf_counter() - t0)
     stats = {
         "a_p25_ms": round(float(np.percentile(ta, 25)) * 1e3, 2),
         "a_p75_ms": round(float(np.percentile(ta, 75)) * 1e3, 2),

@@ -292,6 +292,44 @@ def ycck_to_rgb_exact(
     return ycck_channels_to_rgb(chans[0], chans[1], chans[2], chans[3], quirks)
 
 
+def cmyk_to_rgb_exact(
+    frame: FrameHeader,
+    planes: list[np.ndarray],
+    quirks: Quirks = Quirks.CORRECT,
+) -> np.ndarray:
+    """Raw Adobe CMYK (APP14 transform=0): samples are stored INVERTED
+    (Adobe convention), so with stored values s = 255-C etc. the naive
+    multiplicative composite is R = round(s_c * s_k / 255) — verified
+    byte-identical to libjpeg+Pillow's CMYK->RGB over the full 256x256
+    (C,K) domain ((x+127)//255 == their MULDIV255 rounding everywhere).
+    No reference analogue: the C decoder ignores APP14 and always runs
+    its YCCK composite (colour_conversion.c:85-162)."""
+    del quirks  # integer-exact; no store-rounding quirk applies
+    h, w = frame.height, frame.width
+    mh, mv = frame.max_hsf, frame.max_vsf
+    chans = []
+    for ci in range(4):
+        c = frame.components[ci]
+        chans.append(
+            _sample_plane_nn(planes[ci], c.stride, w, h, c.hsf, c.vsf, mh, mv)
+        )
+    return cmyk_channels_to_rgb(chans[0], chans[1], chans[2], chans[3])
+
+
+def cmyk_channels_to_rgb(
+    c8: np.ndarray, m8: np.ndarray, y8: np.ndarray, k8: np.ndarray,
+    quirks: Quirks = Quirks.CORRECT,
+) -> np.ndarray:
+    """Arithmetic half of cmyk_to_rgb_exact on full-resolution channels."""
+    del quirks
+    k = k8.astype(np.int32)
+    out = [
+        ((ch.astype(np.int32) * k + 127) // 255).astype(np.uint8)
+        for ch in (c8, m8, y8)
+    ]
+    return np.stack(out, axis=-1)
+
+
 def ycck_channels_to_rgb(
     y8: np.ndarray, cb8: np.ndarray, cr8: np.ndarray, k8: np.ndarray,
     quirks: Quirks = Quirks.REFERENCE,

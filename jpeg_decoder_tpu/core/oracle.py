@@ -27,6 +27,7 @@ from .numerics import (
     idct_2d_exact,
     rescale_12bit,
     ycbcr_to_rgb_exact,
+    cmyk_to_rgb_exact,
     ycck_to_rgb_exact,
 )
 from .types import (
@@ -475,6 +476,10 @@ def color_convert(
     if frame.ncs == 3:
         return ycbcr_to_rgb_exact(frame, pixel_planes, quirks)
     if frame.ncs == 4:
+        if quirks != Quirks.REFERENCE and frame.adobe_transform == 0:
+            # APP14 transform=0: raw inverted CMYK (the reference ignores
+            # APP14 and always composites YCCK; CORRECT honors the marker).
+            return cmyk_to_rgb_exact(frame, pixel_planes, quirks)
         return ycck_to_rgb_exact(frame, pixel_planes, quirks)
     raise JpegFormatError(f"no color transform for {frame.ncs} components")
 

@@ -83,6 +83,12 @@ class FrameHeader:
     width: int  # X
     height: int  # Y (may be 0 until DNL)
     components: tuple[Component, ...]
+    # APP14 "Adobe" color-transform byte, attached by the parser for
+    # 4-component frames only (0 = raw CMYK stored inverted, 2 = YCCK;
+    # None = no Adobe marker). The reference ignores APP14 and always runs
+    # its YCCK composite (yccb_rgb, colour_conversion.c:85-162); under
+    # Quirks.CORRECT the color stage honors transform=0.
+    adobe_transform: int | None = None
 
     @property
     def ncs(self) -> int:

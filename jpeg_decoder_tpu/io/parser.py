@@ -362,7 +362,7 @@ def parse_headers(
             if not quant_tables:
                 raise JpegFormatError("SOS with no quantization tables defined")
             return HeaderParse(
-                frame=frame,
+                frame=_attach_adobe(frame, app_segments),
                 scan_header=sh,
                 entropy_start=entropy_start,
                 restart_interval=restart_interval,
@@ -576,9 +576,28 @@ def parse(
         raise JpegFormatError("no SOF marker found")
     if not scans:
         raise JpegFormatError("no SOS marker found")
+    frame = _attach_adobe(frame, app_segments)
     return JpegStructure(
         frame=frame,
         scans=tuple(scans),
         data=data,
         app_segments=tuple(app_segments),
     )
+
+
+def _attach_adobe(frame, app_segments):
+    """For 4-component frames, record the APP14 'Adobe' transform byte on
+    the FrameHeader (0 = raw inverted CMYK, 2 = YCCK). Only attached when
+    it matters (ncs == 4) so 3-component stage-cache keys are unchanged.
+    The reference ignores APP14 entirely (its yccb_rgb always runs the
+    YCCK composite); Quirks.CORRECT honors transform=0."""
+    if frame.ncs != 4:
+        return frame
+    for marker, _off, payload in app_segments:
+        if marker == 0xEE and payload[:5] == b"Adobe" and len(payload) >= 12:
+            import dataclasses
+
+            return dataclasses.replace(
+                frame, adobe_transform=int(payload[11])
+            )
+    return frame

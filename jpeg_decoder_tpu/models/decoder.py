@@ -126,10 +126,19 @@ def build_stage_raw(key):
             return color_ops.ycbcr_to_rgb(y, cb, cr, exact, quirks), planes
 
     elif frame.ncs == 4:
+        # APP14 transform=0 under CORRECT quirks: raw inverted CMYK
+        # (cmyk_to_rgb). Everything else — transform=2, no marker, or
+        # REFERENCE quirks — runs the YCCK composite like the reference
+        # (which ignores APP14 entirely, colour_conversion.c:85-162).
+        raw_cmyk = (
+            quirks != Quirks.REFERENCE and frame.adobe_transform == 0
+        )
 
         def stage(*coeff_planes):
             planes = pixel_planes(coeff_planes)
             y, cb, cr, k = upsampled(planes)
+            if raw_cmyk:
+                return color_ops.cmyk_to_rgb(y, cb, cr, k), planes
             return color_ops.ycck_to_rgb(y, cb, cr, k, exact, quirks), planes
 
     else:
@@ -455,6 +464,8 @@ def _host_fancy_convert(frame, pixel_planes, quirks):
             chans.append(x[rows[:, None], cols[None, :]])
     if frame.ncs == 3:
         return numerics.ycbcr_channels_to_rgb(*chans, quirks)
+    if quirks != Quirks.REFERENCE and frame.adobe_transform == 0:
+        return numerics.cmyk_channels_to_rgb(*chans, quirks)
     return numerics.ycck_channels_to_rgb(*chans, quirks)
 
 

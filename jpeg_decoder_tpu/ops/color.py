@@ -164,6 +164,20 @@ def gray_to_rgb(y8):
     return jnp.repeat(y8[..., None], 3, axis=-1)
 
 
+def cmyk_to_rgb(c8, m8, y8, k8):
+    """Raw Adobe CMYK (APP14 transform=0; stored inverted): the naive
+    multiplicative composite R = round(s_c * s_k / 255), as integer math
+    ((x + 127) // 255) — byte-identical to libjpeg+Pillow over the full
+    (C,K) domain and to core.numerics.cmyk_channels_to_rgb (the host
+    mirror). Integer-exact on every backend: no FMA/rounding hazards."""
+    k = k8.astype(jnp.int32)
+    chans = [
+        (((ch.astype(jnp.int32) * k + 127) // 255)).astype(jnp.uint8)
+        for ch in (c8, m8, y8)
+    ]
+    return jnp.stack(chans, axis=-1)
+
+
 def ycck_to_rgb(y8, cb8, cr8, k8, exact: bool = True,
                 quirks: Quirks = Quirks.REFERENCE):
     """4-component YCCK composite (yccb_rgb, colour_conversion.c:85-162):
