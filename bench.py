@@ -346,6 +346,20 @@ def _scaling_artifacts() -> None:
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
     )
+    root = Path(__file__).resolve().parent
+    sc_path = root / "SCALING.json"
+    ws_path = root / "benchmarks" / "WEAK_SCALING.json"
+    # Snapshot the current artifacts: this shared VM takes 8-9% hypervisor
+    # steal in BURSTS, and a burst landing inside one control measurement
+    # produces physically impossible curves (observed: "efficiency" 8.8 at
+    # 4 devices when a burst hit the unsharded control). If the fresh
+    # artifacts fail the sanity gate below, restore these.
+    keep = {}
+    for p in (sc_path, ws_path):
+        try:
+            keep[p] = p.read_text()
+        except Exception:
+            pass
     try:
         r = subprocess.run(
             [sys.executable, "benchmarks/scaling.py",
@@ -368,11 +382,21 @@ def _scaling_artifacts() -> None:
             env=env, timeout=900, capture_output=True, text=True,
         )
         if r2.returncode == 0:
-            root = Path(__file__).resolve().parent
-            ws = json.loads(
-                (root / "benchmarks" / "WEAK_SCALING.json").read_text()
-            )
-            sc_path = root / "SCALING.json"
+            ws = json.loads(ws_path.read_text())
+            effs = [
+                row.get("sharding_efficiency")
+                for k in ("dp_batch_stage", "sp_stripe_stage")
+                for row in ws.get(k, [])
+                if row.get("sharding_efficiency") is not None
+            ]
+            sane = effs and all(0.5 <= e <= 2.0 for e in effs)
+            if not sane:
+                log(f"scaling sanity gate REJECTED fresh curves "
+                    f"(efficiencies {effs}): a steal burst corrupted a "
+                    f"control; keeping the previous artifacts")
+                for p, text in keep.items():
+                    p.write_text(text)
+                return
             sc = (
                 json.loads(sc_path.read_text())
                 if r.returncode == 0 and sc_path.exists()
@@ -384,8 +408,15 @@ def _scaling_artifacts() -> None:
         else:
             log(f"weak-scaling artifact FAILED (rc={r2.returncode}):\n"
                 f"{r2.stderr[-800:]}")
+            if ws_path in keep:  # don't leave a half-written artifact
+                ws_path.write_text(keep[ws_path])
     except Exception as e:  # never let the artifact sink the bench
         log(f"scaling artifact skipped: {e}")
+        for p, text in keep.items():
+            try:
+                p.write_text(text)
+            except Exception:
+                pass
 
 
 def _device_stage_measurement(data: bytes) -> dict | None:

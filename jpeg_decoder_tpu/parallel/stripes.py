@@ -198,19 +198,16 @@ def _pad_plane_rows(plane: np.ndarray, by_pad: int) -> np.ndarray:
     return np.concatenate([plane, tail], axis=0)
 
 
-def entropy_decode_striped(
-    structure,
-    cfg: DecodeConfig,
-    n_stripes: int,
-):
-    """Stripe-parallel host entropy decode: each stripe's restart-segment
-    group decodes concurrently into a stripe-local buffer (native runtime;
-    segment MCU indices are stripe-relative by construction).
+def _striped_entropy_plan(structure, cfg: DecodeConfig, n_stripes: int):
+    """Stripe-aligned entropy guards + per-stripe decode closure, shared by
+    entropy_decode_striped (all stripes up front, shard_map path) and
+    decode_streamed (ONE chunk resident at a time).
 
-    Returns (stripe_planes, qts) where stripe_planes[k][ci] is stripe k's
-    [lby, bx, 64] int16 block rows — already padded/replicated so that
-    stacking them yields the padded plane — or None when the stream shape
-    doesn't support striped entropy (caller falls back to whole-image).
+    Returns (decode_stripe, lby, qts) — decode_stripe(k, planes) fills the
+    caller's zeroed [lby[ci], bx, 64] int16 buffers with stripe k's block
+    rows (the native kernel writes only nonzero coefficients, so reused
+    buffers must be re-zeroed between calls) — or None when the stream
+    shape doesn't support striped entropy.
     """
     from ..native import runtime as nr
     from ..utils.config import EntropyBackend
@@ -240,36 +237,63 @@ def entropy_decode_striped(
     import os as _os
 
     total_threads = cfg.num_threads or _os.cpu_count() or 1
+    lby = [rows_per_stripe * c.vsf for c in frame.components]
+    # Patch per-unit plane block-heights to the stripe-local value; every
+    # other column (wrap, width) is row-invariant, so one patched copy
+    # serves every stripe.
+    local_params = params.copy()
+    for u in range(local_params.shape[0]):
+        local_params[u, 10] = lby[int(local_params[u, 0])]
 
-    def one_stripe(k):
+    def decode_stripe(k, planes):
         s0 = k * segs_per_stripe
         s1 = min(s0 + segs_per_stripe, n_segs)
-        lby = [rows_per_stripe * c.vsf for c in frame.components]
+        if s0 >= s1:
+            return  # stripe entirely in padding rows: stays zero
+        local_mcus = min((s1 - s0) * ri, total_mcus - s0 * ri)
+        # Stripes decode sequentially, each with the FULL thread budget:
+        # the native WorkPool serializes concurrent multi-worker run()
+        # calls on run_mutex_, so running stripes concurrently with
+        # total/8 threads each would execute them one at a time at 1/8
+        # parallelism anyway (r2 advisor finding). Each stripe's segment
+        # group is itself segment-parallel, so all cores stay busy.
+        nr.decode_scan_native_raw(
+            structure, scan, planes,
+            cfg.replace(num_threads=total_threads),
+            bounds[s0:s1], local_mcus, local_params, luts,
+        )
+
+    qts = {tid: qt.values for s in structure.scans
+           for tid, qt in s.quant_tables.items()}
+    return decode_stripe, lby, qts
+
+
+def entropy_decode_striped(
+    structure,
+    cfg: DecodeConfig,
+    n_stripes: int,
+):
+    """Stripe-parallel host entropy decode: each stripe's restart-segment
+    group decodes concurrently into a stripe-local buffer (native runtime;
+    segment MCU indices are stripe-relative by construction).
+
+    Returns (stripe_planes, qts) where stripe_planes[k][ci] is stripe k's
+    [lby, bx, 64] int16 block rows — already padded/replicated so that
+    stacking them yields the padded plane — or None when the stream shape
+    doesn't support striped entropy (caller falls back to whole-image).
+    """
+    plan = _striped_entropy_plan(structure, cfg, n_stripes)
+    if plan is None:
+        return None
+    decode_stripe, lby, qts = plan
+    frame = structure.frame
+
+    def one_stripe(k):
         planes = [
             np.zeros((lby[ci], c.blocks_x, 64), dtype=COEF_DTYPE)
             for ci, c in enumerate(frame.components)
         ]
-        if s0 < s1:
-            local_params = params.copy()
-            # Patch per-unit plane block-heights to the stripe-local value;
-            # every other column (wrap, width) is row-invariant.
-            for u in range(local_params.shape[0]):
-                local_params[u, 10] = lby[int(local_params[u, 0])]
-            local_mcus = min(
-                (s1 - s0) * ri, total_mcus - s0 * ri
-            )
-            # Stripes decode sequentially, each with the FULL thread
-            # budget: the native WorkPool serializes concurrent
-            # multi-worker run() calls on run_mutex_, so running stripes
-            # concurrently with total/8 threads each would execute them
-            # one at a time at 1/8 parallelism anyway (r2 advisor
-            # finding). Each stripe's segment group is itself
-            # segment-parallel, so all cores stay busy per stripe.
-            nr.decode_scan_native_raw(
-                structure, scan, planes,
-                cfg.replace(num_threads=total_threads),
-                bounds[s0:s1], local_mcus, local_params, luts,
-            )
+        decode_stripe(k, planes)
         return planes
 
     stripe_planes = [one_stripe(k) for k in range(n_stripes)]
@@ -289,9 +313,182 @@ def entropy_decode_striped(
                 else:
                     p[r] = last_row
                 flat_rows += 1
-    qts = {tid: qt.values for s in structure.scans
-           for tid, qt in s.quant_tables.items()}
     return stripe_planes, qts
+
+
+@functools.lru_cache(maxsize=64)
+def make_chunk_stage(key, n_chunks: int):
+    """jit device program for ONE MCU-row chunk of a huge image, the chunk
+    index a TRACED scalar so a single compilation serves every chunk:
+    (sidx, [lby_ci, bx, 64] coeffs per component) -> [hs, W, 3] uint8 RGB.
+
+    This is the memory-bounding half of the gigapixel path: sequential
+    per-chunk dispatch keeps only one chunk's f32 intermediates live (the
+    r3 artifact materialized the WHOLE image's — 19 GB peak RSS for
+    0.537 GP; the reference streams its INPUT via mmap,
+    /root/reference/src/jpeg_decoder.c:143-177 — at gigapixel scale the
+    intermediates, not the input, are what must stream). NN upsampling
+    only: real output rows' NN chroma sources are chunk-local by MCU-row
+    alignment, and output rows in the padding region are cropped by the
+    caller, so chunks need no halo and no edge replication (fancy
+    upsampling DOES need a neighbor halo — decode_streamed falls back to
+    the shard_map path for it).
+    """
+    frame, qt_by_comp, precision, quirks, upsample = key
+    if upsample == "fancy":
+        raise ValueError("make_chunk_stage is NN-only (fancy needs halos)")
+    comps = frame.components
+    bits12 = frame.precision == 12
+    exact = precision == IdctPrecision.EXACT
+    qtables = [np.frombuffer(q, dtype=np.uint16).copy() for q in qt_by_comp]
+    w = frame.width
+    vmax, hmax = frame.max_vsf, frame.max_hsf
+    mcus_y_pad = _padded_mcus_y(frame.mcus_y, n_chunks)
+    pad_h = mcus_y_pad * 8 * vmax
+    hs = pad_h // n_chunks  # output rows per chunk
+    mcu_rows = mcus_y_pad // n_chunks
+    rows_idx = [
+        np.asarray(
+            _nn_index_f32(pad_h, np.float32(c.vsf) / np.float32(vmax)),
+            dtype=np.int32,
+        )
+        for c in comps
+    ]
+    cols_idx = [
+        np.asarray(
+            _nn_index_f32(w, np.float32(c.hsf) / np.float32(hmax)),
+            dtype=np.int32,
+        )
+        for c in comps
+    ]
+
+    def chunk_fn(sidx, *coeff_chunks):
+        chans = []
+        for ci, c in enumerate(comps):
+            blocks = coeff_chunks[ci].reshape(-1, 64)
+            pix = idct_ops.idct_blocks(blocks, qtables[ci], precision, bits12)
+            lby = mcu_rows * c.vsf
+            plane = idct_ops.blocks_to_plane(pix, lby, c.blocks_x)
+            local_rows = lby * 8
+            rows = lax.dynamic_slice(
+                jnp.asarray(rows_idx[ci]), (sidx * hs,), (hs,)
+            ) - sidx * local_rows
+            rows = jnp.clip(rows, 0, local_rows - 1)
+            cols = jnp.asarray(cols_idx[ci])
+            chans.append(plane[rows[:, None], cols[None, :]])
+        if frame.ncs == 1:
+            return color_ops.gray_to_rgb(chans[0])
+        if frame.ncs == 3:
+            return color_ops.ycbcr_to_rgb(*chans, exact=exact, quirks=quirks)
+        return color_ops.ycck_to_rgb(*chans, exact=exact, quirks=quirks)
+
+    return jax.jit(chunk_fn)
+
+
+def decode_streamed(
+    data,
+    cfg: DecodeConfig | None = None,
+    n_chunks: int | None = None,
+    sink=None,
+):
+    """Decode one huge image with BOUNDED peak memory: the device stage
+    runs chunk-by-chunk through one compiled program (make_chunk_stage),
+    and — when the restart layout is MCU-row aligned — the host entropy
+    stage streams the same way, so peak RSS is output + ONE chunk's
+    coefficients + ONE chunk's f32 intermediates (+ the memmapped input),
+    independent of image height. Returns [H, W, 3] uint8.
+
+    sink(k, rgb_device, r0, take): optional per-chunk consumer replacing
+    the host gather — rgb_device is chunk k's on-device [hs, W, 3] uint8
+    (rows r0..r0+take are real; the rest is padding). With a sink no
+    host output array is allocated and the return value is None: callers
+    that only need a device-side reduction (e.g. the gigapixel TPU bench
+    fetching digest rows through a 4 MB/s dev tunnel) avoid the full D2H.
+
+    Falls back to decode_striped for fancy upsampling (needs halos) and
+    to whole-image host entropy (int16 planes — small next to the f32
+    intermediates bounded here) when restart rows don't align with chunks.
+    """
+    cfg = cfg or DecodeConfig()
+    structure = parse(data, cfg)
+    frame = structure.frame
+    px = frame.height * frame.width
+    if n_chunks is None:
+        # ~32 MP of output per chunk: big enough to keep the device stage
+        # efficient (≈4 4K frames per dispatch), small enough that chunk
+        # intermediates stay well under 1 GB. Measured on the 0.537 GP
+        # artifact: 32 MP chunks beat 64 MP on BOTH axes (14.2 s/3.1 GB
+        # vs 25.3 s/4.1 GB — smaller maps mean cheaper kernel-side fault
+        # traffic on top of the smaller live set).
+        n_chunks = max(1, -(-px // (32 << 20)))
+    if cfg.upsample == "fancy" or n_chunks == 1:
+        if sink is not None:
+            raise ValueError(
+                "sink requires the chunked path (NN upsampling, >1 chunk)"
+            )
+        return decode_striped(data, cfg)
+    vmax = frame.max_vsf
+    mcus_y_pad = _padded_mcus_y(frame.mcus_y, n_chunks)
+    hs = mcus_y_pad * 8 * vmax // n_chunks
+    mcu_rows = mcus_y_pad // n_chunks
+
+    plan = _striped_entropy_plan(structure, cfg, n_chunks)
+    if plan is not None:
+        decode_stripe, lby, qts = plan
+        bufs = [
+            np.zeros((lby[ci], c.blocks_x, 64), dtype=COEF_DTYPE)
+            for ci, c in enumerate(frame.components)
+        ]
+        whole = None
+    else:
+        whole, qts = decoder_mod._entropy_decode(structure, cfg)
+
+    key = decoder_mod._stage_key(
+        frame, decoder_mod.qt_by_comp_bytes(frame, qts), cfg
+    )
+    stage = make_chunk_stage(key, n_chunks)
+    # np.zeros, NOT np.empty: both fault their pages lazily, but on this
+    # kernel first-touch write faults into a malloc'd (np.empty) region
+    # cost ~45 us each while XLA worker threads concurrently map/unmap
+    # their chunk buffers (mmap_lock contention), turning the 100 MB/chunk
+    # output copy into 15-26 s; calloc'd (np.zeros) pages fault cheaply.
+    # Measured A/B on the 0.537 GP artifact: 4.0 s vs 26.3 s per 4 chunks,
+    # 6.5x end-to-end. Allocation itself is lazy either way (zero cost).
+    out = (
+        None if sink is not None
+        else np.zeros((frame.height, frame.width, 3), dtype=np.uint8)
+    )
+    for k in range(n_chunks):
+        if plan is not None:
+            for b in bufs:
+                b[...] = 0  # the native kernel writes only nonzero coeffs
+            decode_stripe(k, bufs)
+            chunk_in = bufs
+        else:
+            chunk_in = []
+            for ci, c in enumerate(frame.components):
+                lo = k * mcu_rows * c.vsf
+                src = whole.plane(ci)[lo: lo + mcu_rows * c.vsf]
+                want = mcu_rows * c.vsf
+                if src.shape[0] < want:
+                    # Padding block rows: zeros are fine — NN sources for
+                    # real output rows never point past the real plane,
+                    # and padded output rows are cropped below.
+                    z = np.zeros(
+                        (want - src.shape[0],) + src.shape[1:], COEF_DTYPE
+                    )
+                    src = np.concatenate([src, z], axis=0)
+                chunk_in.append(src)
+        rgb_dev = stage(np.int32(k), *[jnp.asarray(p) for p in chunk_in])
+        r0 = k * hs
+        take = min(hs, frame.height - r0)
+        if take <= 0:
+            continue  # chunk entirely in padding rows
+        if sink is not None:
+            sink(k, rgb_dev, r0, take)
+        else:
+            out[r0: r0 + take] = np.asarray(jax.device_get(rgb_dev))[:take]
+    return out
 
 
 def decode_striped(

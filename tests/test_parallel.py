@@ -180,6 +180,97 @@ class TestStripes:
         np.testing.assert_array_equal(got, want)
 
 
+class TestStreamed:
+    """decode_streamed: sequential per-chunk device dispatch (the bounded-
+    memory gigapixel path) must be pixel-identical to whole-image decode
+    on every geometry, through both entropy routes (chunk-streamed when
+    restart rows align, whole-image fallback otherwise)."""
+
+    @pytest.mark.parametrize(
+        "sub,h,w,ri",
+        [
+            ("420", 128, 64, 4),   # aligned DRI -> streamed entropy
+            ("420", 123, 64, 0),   # no DRI -> whole-image fallback
+            ("444", 64, 48, 6),    # aligned
+            ("gray", 77, 40, 5),   # aligned, single component
+            ("422", 80, 64, 8),    # aligned, h2x-only sampling
+            ("420", 200, 96, 11),  # non-row-aligned DRI -> fallback
+        ],
+    )
+    @pytest.mark.parametrize("n_chunks", [2, 4])
+    def test_streamed_matches_single(self, sub, h, w, ri, n_chunks):
+        rng = np.random.default_rng(53)
+        shape = (h, w) if sub == "gray" else (h, w, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        kw = dict(quality=87, subsampling=sub)
+        if ri:
+            kw["restart_interval"] = ri
+        data = encoder.encode(img, EncodeConfig(**kw))
+        want = decoder.decode(data, CFG).rgb
+        got = stripes_mod.decode_streamed(data, CFG, n_chunks=n_chunks)
+        np.testing.assert_array_equal(got, want)
+
+    def test_streamed_exact_native(self):
+        """EXACT precision + native streamed entropy (the gigapixel
+        artifact's configuration, scaled down)."""
+        from jpeg_decoder_tpu.native import runtime as nr
+        from jpeg_decoder_tpu.utils.config import IdctPrecision
+
+        if not nr.available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(54)
+        img = rng.integers(0, 256, (160, 96, 3), dtype=np.uint8)
+        data = encoder.encode(
+            img,
+            EncodeConfig(quality=85, subsampling="420", restart_interval=6),
+        )
+        cfg = DecodeConfig(
+            entropy_backend=EntropyBackend.NATIVE,
+            idct_precision=IdctPrecision.EXACT,
+        )
+        want = decoder.decode(data, cfg).rgb
+        got = stripes_mod.decode_streamed(data, cfg, n_chunks=5)
+        np.testing.assert_array_equal(got, want)
+
+    def test_streamed_fancy_falls_back(self):
+        """Fancy upsampling needs halos: decode_streamed must route to the
+        shard_map path and still match the single-device result."""
+        rng = np.random.default_rng(55)
+        img = rng.integers(0, 256, (128, 64, 3), dtype=np.uint8)
+        data = encoder.encode(img, EncodeConfig(quality=88, subsampling="420"))
+        cfg = CFG.replace(upsample="fancy")
+        want = decoder.decode(data, cfg).rgb
+        got = stripes_mod.decode_streamed(data, cfg, n_chunks=4)
+        np.testing.assert_array_equal(got, want)
+
+    def test_chunk_stage_compiles_once(self):
+        """Every chunk must reuse ONE compiled program (the chunk index is
+        traced): recompiling per chunk would make gigapixel decode pay
+        n_chunks compiles."""
+        rng = np.random.default_rng(56)
+        img = rng.integers(0, 256, (128, 64, 3), dtype=np.uint8)
+        data = encoder.encode(
+            img, EncodeConfig(quality=87, subsampling="420",
+                              restart_interval=4)
+        )
+        stripes_mod.make_chunk_stage.cache_clear()
+        stripes_mod.decode_streamed(data, CFG, n_chunks=4)
+        info = stripes_mod.make_chunk_stage.cache_info()
+        assert info.misses == 1  # one stage built for all 4 chunks
+        # ... and that stage lowered exactly once (the chunk index is a
+        # traced scalar, not a Python constant baked per chunk):
+        from jpeg_decoder_tpu.io.parser import parse
+        from jpeg_decoder_tpu.models import decoder as decoder_mod
+
+        s = parse(data, CFG)
+        planes, qts = decoder_mod._entropy_decode(s, CFG)
+        key = decoder_mod._stage_key(
+            s.frame, decoder_mod.qt_by_comp_bytes(s.frame, qts), CFG
+        )
+        stage = stripes_mod.make_chunk_stage(key, 4)
+        assert stage._cache_size() == 1
+
+
 class TestMesh:
     def test_make_mesh_shapes(self):
         m = mesh_mod.make_mesh(n_data=4, n_stripe=2)
