@@ -38,6 +38,10 @@
 #include <chrono>
 #include <vector>
 
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
+
 // Pair-table window width: index = top (64 - JDT_PAIR_SHIFT) bits of the
 // bit window. Must match core/huffman.PAIR_BITS (native/build.py passes
 // -DJDT_PAIR_SHIFT=64-PAIR_BITS and folds it into the build hash). The
@@ -1105,6 +1109,42 @@ ScanContext build_context(const uint8_t* data, const int64_t* seg_bounds,
 // lattice mismatch — falls back to the serial path.
 // ---------------------------------------------------------------------------
 
+// Non-temporal 128-byte DU copy for the speculative STAGING traffic.
+// Staged DUs are consumed only after every worker finishes (the stitch
+// reads keys, the scatter reads dus), so caching ~24 MB of staging lines
+// is pure pollution of the L2 the window loads live in — and a regular
+// store additionally pays a write-allocate READ of each destination line
+// first. Streaming stores skip both; on the bandwidth-poor serving host
+// that traffic is the measured DRI-vs-no-DRI gap (docs/PERF.md, r4).
+// The destination stride is 128 B, so alignment is uniform per buffer:
+// one check, then full-cache-line WC writes. Callers that need the data
+// visible to OTHER threads must fence once after their loop (NT stores
+// are weakly ordered; pool_run's join alone is not an architected flush).
+static inline void du_store_nt(int16_t* dst, const int16_t* src) {
+#if defined(__SSE2__)
+  if ((reinterpret_cast<uintptr_t>(dst) & 15) == 0) {
+    const __m128i* s = reinterpret_cast<const __m128i*>(src);
+    __m128i* d = reinterpret_cast<__m128i*>(dst);
+    _mm_stream_si128(d + 0, _mm_loadu_si128(s + 0));
+    _mm_stream_si128(d + 1, _mm_loadu_si128(s + 1));
+    _mm_stream_si128(d + 2, _mm_loadu_si128(s + 2));
+    _mm_stream_si128(d + 3, _mm_loadu_si128(s + 3));
+    _mm_stream_si128(d + 4, _mm_loadu_si128(s + 4));
+    _mm_stream_si128(d + 5, _mm_loadu_si128(s + 5));
+    _mm_stream_si128(d + 6, _mm_loadu_si128(s + 6));
+    _mm_stream_si128(d + 7, _mm_loadu_si128(s + 7));
+    return;
+  }
+#endif
+  std::memcpy(dst, src, 64 * sizeof(int16_t));
+}
+
+static inline void spec_store_fence() {
+#if defined(__SSE2__)
+  _mm_sfence();
+#endif
+}
+
 struct SpecChunk {
   // Backing storage is cursor-addressed: `n` DUs are valid, the vectors
   // are capacity (sized >= n, possibly larger from arena reuse). The hot
@@ -1490,7 +1530,7 @@ du_done: {
     S.dcs_w[S.n] = *S.pred - S.pred_du0;  // store the DIFF
   } else {
     S.dcs_w[S.n] = du[0];
-    std::memcpy(S.dus_w + S.n * 64, du, 64 * sizeof(int16_t));
+    du_store_nt(S.dus_w + S.n * 64, du);
   }
   S.n++;
   S.rot = 0;
@@ -1552,9 +1592,16 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   const bool multistream = !(mode && std::strcmp(mode, "bitreader") == 0);
   const int workers = static_cast<int>(
       std::min<int64_t>(n_threads, std::max<int64_t>(1, span / (1 << 16))));
+  // Multistream over-decomposes 4x beyond the stream count and lets the
+  // worker loops GRAB chunks dynamically (same discipline as reg_run's
+  // segment grab): on a shared VM, hypervisor steal against one vCPU
+  // otherwise extends the whole statically-partitioned stage — measured
+  // worker loops of 7.8 vs 17.1 ms for identical DU counts (r4). Finer
+  // chunks cost one extra overlap window (~3 KB decode) per boundary.
   int k = multistream
               ? static_cast<int>(std::min<int64_t>(
-                    static_cast<int64_t>(workers) * kSpecK, span / (1 << 16)))
+                    static_cast<int64_t>(workers) * kSpecK * 4,
+                    span / (1 << 16)))
               : std::min<int64_t>(n_threads, span / (1 << 16));
   if (k < 2) return JDT_ERR_BAD_ARG;
 
@@ -1603,20 +1650,21 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
   }
   SpecChunk* chunks = arena.chunks.data();
   if (multistream) {
+    // Chunks are pulled from a shared counter: each worker interleaves
+    // kSpecK live streams (cross-stream ILP hides the probe chains, same
+    // structure as reg_run: hot state in register-resident locals,
+    // fixed-trip unrolled stream loop) and re-arms a slot with the next
+    // unclaimed chunk when its stream ends, so a stalled vCPU sheds work
+    // to the others instead of extending the stage.
+    std::atomic<int> next_chunk(0);
     pool_run(workers, [&](int wslot) {
       auto tsetup0 = std::chrono::steady_clock::now();
-      // Worker wslot owns chunks {t : t % workers == wslot}, interleaved
-      // as concurrent streams (cross-stream ILP hides the probe chains,
-      // same structure as reg_run: hot state in register-resident locals,
-      // fixed-trip unrolled stream loop).
-      // Sized up front: SpecStream holds self-referential pointers (pred
-      // into preds[], du into stage[]), so reallocation after spec_set_du
-      // would leave them dangling.
-      int n_st = (k > wslot) ? (k - 1 - wslot) / workers + 1 : 0;
-      std::vector<SpecStream> st(n_st);
-      int si = 0;
-      for (int t = wslot; t < k; t += workers) {
-        SpecStream& S = st[si++];
+      // Fixed-size slot array: SpecStream holds self-referential pointers
+      // (pred into preds[], du into stage[]), so the storage must never
+      // move after spec_set_du.
+      SpecStream st[kSpecK];
+      auto init_chunk = [&](SpecStream& S, int t) {
+        S = SpecStream{};
         int64_t lo = chunk_byte[t];
         int64_t base = chunk_bits[t];
         // A chunk must not begin on the 0x00 of a stuffed FF00 pair (the
@@ -1653,41 +1701,46 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
         S.out = &chunks[t];
         // Cursor-addressed staging: size the backing once (arena reuse
         // keeps it across calls), write through raw pointers.
-        {
-          SpecChunk& ch = *S.out;
-          int64_t cap0 = total_dus / k + 4096;
-          if (static_cast<int64_t>(ch.keys.size()) < cap0) {
-            ch.keys.resize(cap0);
-            ch.dcs.resize(cap0);
-          }
-          // dus must cover the full keys capacity (an arena slot may have
-          // grown keys while serving as the direct chunk, which never
-          // sizes dus).
-          if (!S.direct && ch.dus.size() < ch.keys.size() * 64)
-            ch.dus.resize(ch.keys.size() * 64);
-          S.n = 0;
-          S.cap = static_cast<int64_t>(ch.keys.size());
-          S.keys_w = ch.keys.data();
-          S.dcs_w = ch.dcs.data();
-          S.dus_w = ch.dus.data();
+        SpecChunk& ch = *S.out;
+        int64_t cap0 = total_dus / k + 4096;
+        if (static_cast<int64_t>(ch.keys.size()) < cap0) {
+          ch.keys.resize(cap0);
+          ch.dcs.resize(cap0);
         }
+        // dus must cover the full keys capacity (an arena slot may have
+        // grown keys while serving as the direct chunk, which never
+        // sizes dus).
+        if (!S.direct && ch.dus.size() < ch.keys.size() * 64)
+          ch.dus.resize(ch.keys.size() * 64);
+        S.n = 0;
+        S.cap = static_cast<int64_t>(ch.keys.size());
+        S.keys_w = ch.keys.data();
+        S.dcs_w = ch.dcs.data();
+        S.dus_w = ch.dus.data();
         spec_set_du(S);
-      }
+      };
       const uint8_t* base[kSpecK];
       int64_t bp[kSpecK];
       int32_t ci[kSpecK];
       int16_t* du[kSpecK];
       const uint64_t* vac[kSpecK];
       uint32_t livemask = 0;
-      for (int i = 0; i < n_st && i < kSpecK; i++) {
+      int64_t dus_done = 0;
+      auto grab = [&](int i) -> bool {
+        int t = next_chunk.fetch_add(1);
+        if (t >= k) return false;
+        init_chunk(st[i], t);
         base[i] = st[i].buf;
         bp[i] = 0;
         ci[i] = 0;
         du[i] = st[i].du;
         vac[i] = st[i].ac->vlut2;
-        livemask |= 1u << i;
-      }
+        return true;
+      };
+      for (int i = 0; i < kSpecK; i++)
+        if (grab(i)) livemask |= 1u << i;
       auto tw0 = std::chrono::steady_clock::now();
+      int64_t retries = 0;
       while (livemask) {
 #pragma GCC unroll 4
         for (int i = 0; i < kSpecK; i++) {
@@ -1695,11 +1748,17 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
           if (__builtin_expect(
                   spec_step(st[i], base[i], bp[i], ci[i], du[i], vac[i]),
                   0)) {
-            livemask &= ~(1u << i);
             st[i].out->n = st[i].n;  // flush the staging cursor
+            dus_done += st[i].n;
+            retries += st[i].retries;
+            if (!grab(i)) livemask &= ~(1u << i);
           }
         }
       }
+      // Staged DUs were written with streaming stores; make them globally
+      // visible before this worker reports done (stitch/scatter run on
+      // other threads).
+      spec_store_fence();
       // NOTE: no per-iteration instrumentation inside the loop above — even
       // a dbg-guarded clock call in the body forces the compiler to spill
       // the register-resident stream state across a potential call,
@@ -1709,13 +1768,11 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
         auto ms = [&](auto a, auto b) {
           return std::chrono::duration<double, std::milli>(b - a).count();
         };
-        int64_t rt = 0, dus = 0;
-        for (auto& S : st) { rt += S.retries; dus += S.out->n; }
         std::fprintf(stderr,
                      "[spec] mworker %d: setup=%.2fms loop=%.2fms %lld dus "
                      "%lld retries\n",
-                     wslot, ms(tsetup0, tw0), ms(tw0, tw1), (long long)dus,
-                     (long long)rt);
+                     wslot, ms(tsetup0, tw0), ms(tw0, tw1),
+                     (long long)dus_done, (long long)retries);
       }
     });
   } else {
@@ -1839,13 +1896,18 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
         idx_start[t] = idx0;
         idx0 += last_valid[t] - first_valid[t];
       }
-      pool_run(k, [&](int t) {
-        const int32_t* dcs = chunks[t].dcs.data();
-        int64_t idx = idx_start[t];
-        std::array<int32_t, 4> acc = {0, 0, 0, 0};
-        for (int64_t j = first_valid[t]; j < last_valid[t]; j++, idx++)
-          acc[units[idx % P].scomp] += dcs[j];
-        sums[t] = acc;
+      std::atomic<int> pnext(0);
+      pool_run(std::min(workers, k), [&](int) {
+        for (;;) {
+          int t = pnext.fetch_add(1);
+          if (t >= k) break;
+          const int32_t* dcs = chunks[t].dcs.data();
+          int64_t idx = idx_start[t];
+          std::array<int32_t, 4> acc = {0, 0, 0, 0};
+          for (int64_t j = first_valid[t]; j < last_valid[t]; j++, idx++)
+            acc[units[idx % P].scomp] += dcs[j];
+          sums[t] = acc;
+        }
       });
     }
     int64_t idx = 0;
@@ -1882,9 +1944,31 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
       int16_t* dst = (by < ul.plane_bh && bx < ul.plane_bw)
                          ? planes[ul.plane] + ((int64_t)by * ul.plane_bw + bx) * 64
                          : scratch;
-      std::memcpy(dst, du, 64 * sizeof(int16_t));
       preds[ul.scomp] += du[0];
-      dst[0] = static_cast<int16_t>(preds[ul.scomp]);
+      const int16_t dc = static_cast<int16_t>(preds[ul.scomp]);
+      // Stream the plane write (the plane line is not re-read on the host
+      // before the device transfer; a regular store would read-for-
+      // ownership every 128-byte destination first). The DC is patched
+      // into lane 0 of the first vector before it leaves the core.
+#if defined(__SSE2__)
+      if ((reinterpret_cast<uintptr_t>(dst) & 15) == 0) {
+        const __m128i* s = reinterpret_cast<const __m128i*>(du);
+        __m128i* d = reinterpret_cast<__m128i*>(dst);
+        _mm_stream_si128(d + 0,
+                         _mm_insert_epi16(_mm_loadu_si128(s + 0), dc, 0));
+        _mm_stream_si128(d + 1, _mm_loadu_si128(s + 1));
+        _mm_stream_si128(d + 2, _mm_loadu_si128(s + 2));
+        _mm_stream_si128(d + 3, _mm_loadu_si128(s + 3));
+        _mm_stream_si128(d + 4, _mm_loadu_si128(s + 4));
+        _mm_stream_si128(d + 5, _mm_loadu_si128(s + 5));
+        _mm_stream_si128(d + 6, _mm_loadu_si128(s + 6));
+        _mm_stream_si128(d + 7, _mm_loadu_si128(s + 7));
+      } else
+#endif
+      {
+        std::memcpy(dst, du, 64 * sizeof(int16_t));
+        dst[0] = dc;
+      }
       if (++u == P) {
         u = 0;
         for (int q = 0; q < P; q++) {
@@ -1898,9 +1982,23 @@ int decode_speculative(const uint8_t* data, int64_t scan_start,
       }
     }
   };
-  // Chunk 0 already decoded directly into the planes; scatter the rest.
+  // Chunk 0 already decoded directly into the planes; scatter the rest
+  // (dynamic grab, workers-capped: the per-chunk scatter is memory-bound,
+  // extra threads only thrash).
   auto t_stitch = std::chrono::steady_clock::now();
-  pool_run(k - 1, [&](int slot) { scatter(slot + 1); });
+  {
+    std::atomic<int> snext(1);
+    pool_run(std::min(workers, k - 1), [&](int) {
+      for (;;) {
+        int t = snext.fetch_add(1);
+        if (t >= k) break;
+        scatter(t);
+      }
+      // Plane lines were written with streaming stores; publish them
+      // before this worker reports done.
+      spec_store_fence();
+    });
+  }
   if (dbg) {
     auto t_done = std::chrono::steady_clock::now();
     auto ms = [](auto a, auto b) {
