@@ -129,9 +129,23 @@ def _host_stage_subprocess() -> dict | None:
     host_ms / nodri_host_ms are the quietest-of-three-passes medians (the
     passes interleave the two workloads, so their ratio is drift-immune);
     host_p25/p75 are all-sample percentiles exposing the tenancy band.
-    Returns {host_ms, host_p25_ms, host_p75_ms, nodri_host_ms} or None.
+    host_steal_pct is the hypervisor-steal share of CPU time over the
+    measurement window (from /proc/stat): this shared VM's steal is bursty
+    (observed 0-30%), and a high value marks the host numbers as
+    tenancy-degraded rather than a code regression.
+    Returns {host_ms, host_p25_ms, host_p75_ms, nodri_host_ms,
+    host_steal_pct} or None.
     """
     import subprocess
+
+    def _cpu_times() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(v) for v in parts[1:]]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except Exception:
+            return None
 
     script = r"""
 import json
@@ -174,14 +188,21 @@ print(json.dumps({
 }))
 """
     try:
+        t_before = _cpu_times()
         r = subprocess.run(
             [sys.executable, "-c", script],
             timeout=600, capture_output=True, text=True,
             env=dict(os.environ, JAX_PLATFORMS="cpu"),
             cwd=Path(__file__).resolve().parent,
         )
+        t_after = _cpu_times()
         if r.returncode == 0:
-            return json.loads(r.stdout.strip().splitlines()[-1])
+            out = json.loads(r.stdout.strip().splitlines()[-1])
+            if t_before and t_after and t_after[0] > t_before[0]:
+                steal = 100.0 * (t_after[1] - t_before[1]) / (
+                    t_after[0] - t_before[0])
+                out["host_steal_pct"] = round(steal, 1)
+            return out
         log(f"host-stage bench failed (rc={r.returncode}): {r.stderr[-500:]}")
     except Exception as e:
         log(f"host-stage bench failed: {e}")
@@ -383,17 +404,27 @@ def _scaling_artifacts() -> None:
         )
         if r2.returncode == 0:
             ws = json.loads(ws_path.read_text())
-            effs = [
-                row.get("sharding_efficiency")
-                for k in ("dp_batch_stage", "sp_stripe_stage")
-                for row in ws.get(k, [])
-                if row.get("sharding_efficiency") is not None
-            ]
-            sane = effs and all(0.5 <= e <= 2.0 for e in effs)
+            effs, controls = [], []
+            for k in ("dp_batch_stage", "sp_striped_stage"):
+                for row in ws.get(k, []):
+                    e = row.get("sharding_efficiency")
+                    if e is None:
+                        continue
+                    effs.append(e)
+                    if row.get("control"):
+                        controls.append(e)
+            # Two gates: (a) every point physically plausible; (b) the
+            # mesh=1 CONTROL rows (identical programs, so true value is
+            # 1.0 by construction) within ±10% — a control further out
+            # means tenancy noise polluted the whole measurement window,
+            # so the previous (clean-window) artifacts are kept.
+            sane = (effs and all(0.5 <= e <= 2.0 for e in effs)
+                    and all(abs(c - 1.0) <= 0.10 for c in controls))
             if not sane:
                 log(f"scaling sanity gate REJECTED fresh curves "
-                    f"(efficiencies {effs}): a steal burst corrupted a "
-                    f"control; keeping the previous artifacts")
+                    f"(efficiencies {effs}, controls {controls}): tenancy "
+                    f"noise corrupted the window; keeping the previous "
+                    f"artifacts")
                 for p, text in keep.items():
                     p.write_text(text)
                 return
@@ -543,8 +574,10 @@ def main() -> None:
     if host:
         log(f"host stage: {host['host_ms']} ms = "
             f"{px/host['host_ms']/1e3:.1f} MP/s "
-            f"(p25={host['host_p25_ms']} p75={host['host_p75_ms']}); "
-            f"no-DRI {host['nodri_host_ms']} ms "
+            f"(p25={host['host_p25_ms']} p75={host['host_p75_ms']}"
+            + (f", steal {host['host_steal_pct']}%"
+               if "host_steal_pct" in host else "")
+            + f"); no-DRI {host['nodri_host_ms']} ms "
             f"({host['nodri_host_ms']/host['host_ms']:.2f}x DRI)")
     ref_mps = _ref_same_host_mps()
     if ref_mps:
