@@ -37,7 +37,7 @@ from .core.types import CoefficientPlanes, DecodedImage, FrameHeader, JpegStruct
 from .io.parser import parse  # noqa: F401
 from .core.oracle import decode as decode_oracle  # noqa: F401
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def decode(data, cfg=None):
