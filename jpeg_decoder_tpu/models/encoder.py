@@ -95,7 +95,12 @@ def _build_device_stage(h: int, w: int, subsampling: str,
             blocks = fdct_ops.plane_to_blocks(sub, by, bx)
             qt = qts[0] if ci == 0 else qts[1]
             zz = fdct_ops.fdct_quantize(blocks, qt)
-            out.append(zz.reshape(by, bx, 64))
+            # int16 IR (same rationale as the decode side, core/types
+            # COEF_DTYPE): quantized 8-bit-precision coefficients are
+            # <= 11 bits (T.81 F.1, |S| <= 2048 even at qt=1), and the
+            # narrower dtype halves the device->host fetch and the
+            # packer's read traffic.
+            out.append(zz.astype(jnp.int16).reshape(by, bx, 64))
         return out
 
     return jax.jit(stage), factors, (mcus_x, mcus_y)
@@ -129,10 +134,12 @@ class JpegEncoder:
         self.cfg = cfg or EncodeConfig()
 
     @staticmethod
-    def _pack(blocks, mcu_blocks, dc_tables, ac_tables, table_of_unit,
+    def _pack(blocks, mcu_blocks_fn, dc_tables, ac_tables, table_of_unit,
               unit_sci, units_per_mcu, cfg):
         """Entropy pack: native C++ (segment-parallel) with Python fallback
-        (byte-identical; tested in test_encoder.py)."""
+        (byte-identical; tested in test_encoder.py). `mcu_blocks_fn` is a
+        thunk: the 194k-element per-unit tuple list it builds is only
+        needed by the Python fallback, so the native path never pays it."""
         from ..native import runtime as native_runtime
 
         if native_runtime.available():
@@ -147,8 +154,8 @@ class JpegEncoder:
             except (RuntimeError, ValueError):
                 pass  # fall through to the Python packer
         return entropy_encode.encode_blocks(
-            mcu_blocks, dc_tables, ac_tables, table_of_unit, units_per_mcu,
-            cfg.restart_interval,
+            mcu_blocks_fn(), dc_tables, ac_tables, table_of_unit,
+            units_per_mcu, cfg.restart_interval,
         )
 
     def encode(self, img: np.ndarray) -> bytes:
@@ -187,13 +194,15 @@ class JpegEncoder:
             (0, 0) if sci == 0 else (n_tables - 1, n_tables - 1)
             for sci in unit_sci
         ]
-        mcu_blocks = [(unit_sci[i % units_per_mcu], blocks[i])
-                      for i in range(blocks.shape[0])]
+
+        def mcu_blocks_fn():
+            return [(unit_sci[i % units_per_mcu], blocks[i])
+                    for i in range(blocks.shape[0])]
 
         if cfg.huffman == "optimized":
             freq_dc, freq_ac = entropy_encode.count_symbols(
-                mcu_blocks, n_tables, n_tables, table_of_unit, units_per_mcu,
-                cfg.restart_interval,
+                mcu_blocks_fn(), n_tables, n_tables, table_of_unit,
+                units_per_mcu, cfg.restart_interval,
             )
             dc_specs = [
                 dataclasses.replace(
@@ -220,7 +229,7 @@ class JpegEncoder:
         ac_tables = [huffman.build_encode_table(s) for s in ac_specs]
 
         entropy = self._pack(
-            blocks, mcu_blocks, dc_tables, ac_tables, table_of_unit,
+            blocks, mcu_blocks_fn, dc_tables, ac_tables, table_of_unit,
             unit_sci, units_per_mcu, cfg,
         )
 

@@ -135,6 +135,26 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),   # out
             ctypes.POINTER(ctypes.c_int64),      # out_len
         ]
+        lib.jdt_encode_scan_planes.restype = ctypes.c_int32
+        lib.jdt_encode_scan_planes.argtypes = [
+            ctypes.POINTER(i16pp),               # planes (per-comp blocks)
+            ctypes.POINTER(ctypes.c_int64),      # plane_bw (per comp)
+            ctypes.c_int32,                      # n_comps
+            ctypes.c_int32,                      # mcus_x
+            ctypes.c_int64,                      # total_mcus
+            ctypes.c_int32,                      # units_per_mcu
+            ctypes.POINTER(ctypes.c_int32),      # unit_params [upm x 8]
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),  # dc_codes
+            ctypes.POINTER(u8p),                 # dc_sizes
+            ctypes.c_int32,                      # n_dc
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),  # ac_codes
+            ctypes.POINTER(u8p),                 # ac_sizes
+            ctypes.c_int32,                      # n_ac
+            ctypes.c_int64,                      # ri
+            ctypes.c_int32,                      # n_threads
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),   # out
+            ctypes.POINTER(ctypes.c_int64),      # out_len
+        ]
         lib.jdt_free.restype = None
         lib.jdt_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -163,7 +183,7 @@ def _load():
             i64p, i64p,                            # end_out, n_segs_out
             i64p,                                  # err_out [seg, mcu]
         ]
-        if lib.jdt_version() != 10:
+        if lib.jdt_version() != 11:
             log.error("native runtime ABI mismatch")
             _lib_failed = True
             return None
@@ -737,6 +757,89 @@ def encode_scan_native(
         unit_dc.ctypes.data_as(i32p),
         unit_ac.ctypes.data_as(i32p),
         dc_codes, dc_sizes, len(dc_tables),
+        ac_codes, ac_sizes, len(ac_tables),
+        restart_interval,
+        num_threads,
+        ctypes.byref(out_ptr),
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise ValueError(f"native entropy encode failed (status {rc})")
+    try:
+        return ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.jdt_free(out_ptr)
+
+
+def encode_scan_planes(
+    planes: list[np.ndarray],
+    plane_bw: list[int],
+    mcus_x: int,
+    total_mcus: int,
+    unit_params: np.ndarray,
+    dc_tables,
+    ac_tables,
+    restart_interval: int = 0,
+    num_threads: int = 0,
+) -> bytes:
+    """Pack one scan straight from per-component block planes.
+
+    planes: per component, a C-contiguous int16 [by, bx, 64] zigzag block
+    array exactly as the device FDCT stage emits it — the MCU interleave
+    (spec A.2.3) is addressed inside the C++ walk instead of materialized
+    by a NumPy reshuffle, and int16 halves the coefficient bytes of the
+    int32 layout (quantized 8-bit-precision coefficients are <= 11 bits,
+    T.81 F.1). unit_params: [units_per_mcu, 8] int32 rows
+    (comp, fh, fv, j, k, sci, dc_table, ac_table). Byte-identical to
+    encode_scan_native on the reordered layout (differential-tested)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    planes = [np.ascontiguousarray(p, dtype=np.int16) for p in planes]
+    unit_params = np.ascontiguousarray(unit_params, dtype=np.int32)
+    if unit_params.ndim != 2 or unit_params.shape[1] != 8:
+        raise ValueError("unit_params must be [units_per_mcu, 8]")
+
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    plane_ptrs = (i16p * len(planes))(
+        *[p.ctypes.data_as(i16p) for p in planes]
+    )
+    bw_arr = np.asarray(plane_bw, dtype=np.int64)
+    keepalive = [
+        (np.ascontiguousarray(t.code, dtype=np.uint16),
+         np.ascontiguousarray(t.size, dtype=np.uint8))
+        for t in list(dc_tables) + list(ac_tables)
+    ]
+    n_dc = len(dc_tables)
+    dc_codes = (u16p * n_dc)(
+        *[keepalive[i][0].ctypes.data_as(u16p) for i in range(n_dc)]
+    )
+    dc_sizes = (u8p * n_dc)(
+        *[keepalive[i][1].ctypes.data_as(u8p) for i in range(n_dc)]
+    )
+    ac_codes = (u16p * len(ac_tables))(
+        *[keepalive[n_dc + i][0].ctypes.data_as(u16p)
+          for i in range(len(ac_tables))]
+    )
+    ac_sizes = (u8p * len(ac_tables))(
+        *[keepalive[n_dc + i][1].ctypes.data_as(u8p)
+          for i in range(len(ac_tables))]
+    )
+
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64(0)
+    rc = lib.jdt_encode_scan_planes(
+        plane_ptrs,
+        bw_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(planes),
+        mcus_x,
+        total_mcus,
+        unit_params.shape[0],
+        unit_params.ctypes.data_as(i32p),
+        dc_codes, dc_sizes, n_dc,
         ac_codes, ac_sizes, len(ac_tables),
         restart_interval,
         num_threads,

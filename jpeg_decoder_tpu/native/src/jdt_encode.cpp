@@ -118,107 +118,232 @@ struct EncodeArgs {
   int64_t ri;  // restart interval in MCUs (0 = none)
 };
 
-// Pack MCUs [mcu_lo, mcu_hi) into bp. Returns 0 or 1 on absent symbol.
-// Each (code, EXTEND) pair is emitted as ONE put of <= 31 bits (halves
-// the accumulator traffic vs separate puts; bit-identical output).
-int pack_range(const EncodeArgs& a, int64_t mcu_lo, int64_t mcu_hi,
-               BitPacker& bp) {
+#if defined(__AVX2__)
+// Nonzero-position mask for one 64-coefficient data unit: bit k set iff
+// unit[k] != 0. The ctz walk over this mask replaces the scalar loop's
+// per-coefficient zero test, which is data-random on natural content and
+// mispredicts ~per coefficient.
+inline uint64_t nz_mask(const int32_t* unit) {
+  uint64_t nz = 0;
+  for (int g = 0; g < 64; g += 8) {
+    __m256i v8 =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(unit + g));
+    __m256i z = _mm256_cmpeq_epi32(v8, _mm256_setzero_si256());
+    uint32_t zm = static_cast<uint32_t>(
+        _mm256_movemask_ps(_mm256_castsi256_ps(z)));
+    nz |= static_cast<uint64_t>(~zm & 0xFFu) << g;
+  }
+  return nz;
+}
+
+inline uint64_t nz_mask(const int16_t* unit) {
+  uint64_t nz = 0;
+  for (int g = 0; g < 64; g += 16) {
+    __m256i v16 =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(unit + g));
+    uint32_t zm = static_cast<uint32_t>(_mm256_movemask_epi8(
+        _mm256_cmpeq_epi16(v16, _mm256_setzero_si256())));
+    // movemask_epi8 repeats each int16 lane's bit twice; keep the even bits.
+#if defined(__BMI2__)
+    uint32_t z16 = _pext_u32(zm, 0x55555555u);
+#else
+    uint32_t x = zm & 0x55555555u;
+    x = (x | (x >> 1)) & 0x33333333u;
+    x = (x | (x >> 2)) & 0x0F0F0F0Fu;
+    x = (x | (x >> 4)) & 0x00FF00FFu;
+    x = (x | (x >> 8)) & 0x0000FFFFu;
+    uint32_t z16 = x;
+#endif
+    nz |= static_cast<uint64_t>(~z16 & 0xFFFFu) << g;
+  }
+  return nz;
+}
+#endif
+
+// Pack ONE data unit. Shared by the contiguous int32 entry and the
+// plane-direct int16 entry; each (code, EXTEND) pair is emitted as ONE
+// put of <= 31 bits. Returns 0 or 1 on absent symbol / range error.
+template <typename Coef>
+inline int pack_du(const Coef* unit, const EncTable& dct,
+                   const EncTable& act, int32_t sci, int32_t preds[4],
+                   BitPacker& bp) {
   // Worst case one DU emits 64 * (16+15) bits = 248 B, *2 if every byte
   // stuffs, + the 8-byte fast-path store margin.
   constexpr size_t kDuCap = 2 * 248 + 16;
+  bp.ensure(kDuCap);
+
+  int32_t dc = unit[0];
+  int32_t diff = dc - preds[sci];
+  preds[sci] = dc;
+  int s = csize_fast(diff);
+  // Out-of-range magnitudes must error, not alias into the run nibble
+  // of (run << 4 | s) and emit a decodable-but-wrong symbol.
+  if (s > 15 || dct.size[s] == 0) return 1;
+  uint32_t ext =
+      static_cast<uint32_t>(diff >= 0 ? diff : diff + (1 << s) - 1);
+  bp.put((static_cast<uint32_t>(dct.code[s]) << s) | (ext & ((1u << s) - 1)),
+         dct.size[s] + s);
+
+#if defined(__AVX2__)
+  uint64_t nz = nz_mask(unit) & ~1ull;  // DC handled above
+  int prev = 0;
+  while (nz) {
+    int k = __builtin_ctzll(nz);
+    nz &= nz - 1;
+    int run = k - prev - 1;
+    prev = k;
+    while (run >= 16) {
+      if (act.size[0xF0] == 0) return 1;
+      bp.put(act.code[0xF0], act.size[0xF0]);  // ZRL
+      run -= 16;
+    }
+    int32_t v = unit[k];
+    s = csize_fast(v);
+    if (s > 15) return 1;
+    int sym = (run << 4) | s;
+    if (act.size[sym] == 0) return 1;
+    ext = static_cast<uint32_t>(v >= 0 ? v : v + (1 << s) - 1);
+    bp.put((static_cast<uint32_t>(act.code[sym]) << s) |
+               (ext & ((1u << s) - 1)),
+           act.size[sym] + s);
+  }
+  if (prev < 63) {
+    if (act.size[0x00] == 0) return 1;
+    bp.put(act.code[0x00], act.size[0x00]);  // EOB
+  }
+#else
+  int run = 0;
+  for (int k = 1; k < 64; k++) {
+    int32_t v = unit[k];
+    if (v == 0) {
+      run++;
+      continue;
+    }
+    while (run >= 16) {
+      if (act.size[0xF0] == 0) return 1;
+      bp.put(act.code[0xF0], act.size[0xF0]);  // ZRL
+      run -= 16;
+    }
+    s = csize_fast(v);
+    if (s > 15) return 1;
+    int sym = (run << 4) | s;
+    if (act.size[sym] == 0) return 1;
+    ext = static_cast<uint32_t>(v >= 0 ? v : v + (1 << s) - 1);
+    bp.put((static_cast<uint32_t>(act.code[sym]) << s) |
+               (ext & ((1u << s) - 1)),
+           act.size[sym] + s);
+    run = 0;
+  }
+  if (run) {
+    if (act.size[0x00] == 0) return 1;
+    bp.put(act.code[0x00], act.size[0x00]);  // EOB
+  }
+#endif
+  return 0;
+}
+
+// Pack MCUs [mcu_lo, mcu_hi) from the contiguous MCU-ordered layout.
+int pack_range(const EncodeArgs& a, int64_t mcu_lo, int64_t mcu_hi,
+               BitPacker& bp) {
   int32_t preds[4] = {0, 0, 0, 0};
   for (int64_t m = mcu_lo; m < mcu_hi; m++) {
     const int32_t* unit = a.blocks + m * a.units_per_mcu * 64;
     for (int32_t u = 0; u < a.units_per_mcu; u++, unit += 64) {
-      const EncTable& dct = a.tables_dc[a.unit_dc[u]];
-      const EncTable& act = a.tables_ac[a.unit_ac[u]];
-      int32_t sci = a.unit_sci[u];
-      bp.ensure(kDuCap);
-
-      int32_t dc = unit[0];
-      int32_t diff = dc - preds[sci];
-      preds[sci] = dc;
-      int s = csize_fast(diff);
-      // Out-of-range magnitudes must error, not alias into the run nibble
-      // of (run << 4 | s) and emit a decodable-but-wrong symbol.
-      if (s > 15 || dct.size[s] == 0) return 1;
-      uint32_t ext = static_cast<uint32_t>(diff >= 0 ? diff
-                                                     : diff + (1 << s) - 1);
-      bp.put((static_cast<uint32_t>(dct.code[s]) << s) |
-                 (ext & ((1u << s) - 1)),
-             dct.size[s] + s);
-
-#if defined(__AVX2__)
-      // Nonzero-position mask for unit[0..63] (8 cmpeq+movemask), then a
-      // ctz walk over just the ~nonzero coefficients. The scalar loop's
-      // per-coefficient zero test mispredicts heavily on natural content
-      // (zero runs are data-random); the mask walk touches only emitted
-      // symbols and derives each run length arithmetically.
-      uint64_t nz = 0;
-      for (int g = 0; g < 64; g += 8) {
-        __m256i v8 = _mm256_loadu_si256(
-            reinterpret_cast<const __m256i*>(unit + g));
-        __m256i z = _mm256_cmpeq_epi32(v8, _mm256_setzero_si256());
-        uint32_t zm = static_cast<uint32_t>(
-            _mm256_movemask_ps(_mm256_castsi256_ps(z)));
-        nz |= static_cast<uint64_t>(~zm & 0xFFu) << g;
-      }
-      nz &= ~1ull;  // DC handled above
-      int prev = 0;
-      while (nz) {
-        int k = __builtin_ctzll(nz);
-        nz &= nz - 1;
-        int run = k - prev - 1;
-        prev = k;
-        while (run >= 16) {
-          if (act.size[0xF0] == 0) return 1;
-          bp.put(act.code[0xF0], act.size[0xF0]);  // ZRL
-          run -= 16;
-        }
-        int32_t v = unit[k];
-        s = csize_fast(v);
-        if (s > 15) return 1;
-        int sym = (run << 4) | s;
-        if (act.size[sym] == 0) return 1;
-        ext = static_cast<uint32_t>(v >= 0 ? v : v + (1 << s) - 1);
-        bp.put((static_cast<uint32_t>(act.code[sym]) << s) |
-                   (ext & ((1u << s) - 1)),
-               act.size[sym] + s);
-      }
-      if (prev < 63) {
-        if (act.size[0x00] == 0) return 1;
-        bp.put(act.code[0x00], act.size[0x00]);  // EOB
-      }
-#else
-      int run = 0;
-      for (int k = 1; k < 64; k++) {
-        int32_t v = unit[k];
-        if (v == 0) {
-          run++;
-          continue;
-        }
-        while (run >= 16) {
-          if (act.size[0xF0] == 0) return 1;
-          bp.put(act.code[0xF0], act.size[0xF0]);  // ZRL
-          run -= 16;
-        }
-        s = csize_fast(v);
-        if (s > 15) return 1;
-        int sym = (run << 4) | s;
-        if (act.size[sym] == 0) return 1;
-        ext = static_cast<uint32_t>(v >= 0 ? v : v + (1 << s) - 1);
-        bp.put((static_cast<uint32_t>(act.code[sym]) << s) |
-                   (ext & ((1u << s) - 1)),
-               act.size[sym] + s);
-        run = 0;
-      }
-      if (run) {
-        if (act.size[0x00] == 0) return 1;
-        bp.put(act.code[0x00], act.size[0x00]);  // EOB
-      }
-#endif
+      if (pack_du(unit, a.tables_dc[a.unit_dc[u]], a.tables_ac[a.unit_ac[u]],
+                  a.unit_sci[u], preds, bp))
+        return 1;
     }
   }
+  return 0;
+}
+
+// Plane-direct layout: blocks stay in the per-component [by, bx, 64]
+// arrays the device FDCT stage emits (int16, zigzag); the MCU-interleave
+// is ADDRESSED here instead of materialized by a NumPy reshuffle. Unit u
+// of an MCU at (my, mx) lives at block (my*fv + j, mx*fh + k) of its
+// component plane — the encode-side mirror of the decoder's UnitLayout
+// walk (planes are MCU-padded, so no partial-coverage scratch case).
+struct PlaneUnit {
+  const int16_t* base;  // component plane [by, bx, 64]
+  int64_t bw;           // blocks per row
+  int32_t fh, fv, j, k;
+  int32_t sci, dc, ac;
+};
+
+int pack_range_planes(const PlaneUnit* pus, int32_t upm,
+                      const EncTable* tdc, const EncTable* tac,
+                      int32_t mcus_x, int64_t mcu_lo, int64_t mcu_hi,
+                      BitPacker& bp) {
+  int64_t my = mcu_lo / mcus_x;
+  int32_t mx = static_cast<int32_t>(mcu_lo % mcus_x);
+  int32_t preds[4] = {0, 0, 0, 0};
+  for (int64_t m = mcu_lo; m < mcu_hi; m++) {
+    for (int32_t u = 0; u < upm; u++) {
+      const PlaneUnit& pu = pus[u];
+      const int16_t* unit =
+          pu.base + ((my * pu.fv + pu.j) * pu.bw +
+                     static_cast<int64_t>(mx) * pu.fh + pu.k) * 64;
+      if (pack_du(unit, tdc[pu.dc], tac[pu.ac], pu.sci, preds, bp)) return 1;
+    }
+    if (++mx == mcus_x) {
+      mx = 0;
+      my++;
+    }
+  }
+  return 0;
+}
+
+// Shared segment-parallel driver: pack every restart segment concurrently
+// via `pack` (seg, mcu_lo, mcu_hi, packer) -> rc, then stitch with RSTn
+// markers into one malloc'd buffer.
+template <typename PackFn>
+int32_t encode_segments(int64_t total_mcus, int64_t ri, int32_t n_threads,
+                        PackFn&& pack, uint8_t** out, int64_t* out_len) {
+  int64_t n_segs = (ri > 0) ? (total_mcus + ri - 1) / ri : 1;
+  std::vector<BitPacker> packers(n_segs);
+  std::atomic<int32_t> status(0);
+
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  int workers =
+      static_cast<int>(std::min<int64_t>(std::max(1, n_threads), n_segs));
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t s = next.fetch_add(1);
+      if (s >= n_segs || status.load(std::memory_order_relaxed)) return;
+      int64_t lo = ri ? s * ri : 0;
+      int64_t hi = ri ? std::min<int64_t>(lo + ri, total_mcus) : total_mcus;
+      int rc = pack(lo, hi, packers[s]);
+      packers[s].align();
+      if (rc) status.store(rc);
+    }
+  };
+  if (workers <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < workers; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  if (int32_t rc = status.load()) return rc;
+
+  int64_t total = 0;
+  for (auto& p : packers) total += static_cast<int64_t>(p.w);
+  total += 2 * (n_segs - 1);  // RSTn markers
+  uint8_t* buf =
+      static_cast<uint8_t*>(std::malloc(std::max<int64_t>(total, 1)));
+  if (!buf) return 3;
+  int64_t off = 0;
+  for (int64_t s = 0; s < n_segs; s++) {
+    std::memcpy(buf + off, packers[s].out.data(), packers[s].w);
+    off += static_cast<int64_t>(packers[s].w);
+    if (s + 1 < n_segs) {
+      buf[off++] = 0xFF;
+      buf[off++] = 0xD0 + static_cast<uint8_t>(s & 7);
+    }
+  }
+  *out = buf;
+  *out_len = off;
   return 0;
 }
 
@@ -248,52 +373,50 @@ int32_t jdt_encode_scan(const int32_t* blocks, int64_t total_units,
   EncodeArgs a{blocks, total_units, units_per_mcu, unit_sci,
                unit_dc, unit_ac, tdc.data(), tac.data(), ri};
   int64_t total_mcus = total_units / units_per_mcu;
+  return encode_segments(
+      total_mcus, ri, n_threads,
+      [&](int64_t lo, int64_t hi, BitPacker& bp) {
+        return pack_range(a, lo, hi, bp);
+      },
+      out, out_len);
+}
 
-  int64_t n_segs = (ri > 0) ? (total_mcus + ri - 1) / ri : 1;
-  std::vector<BitPacker> packers(n_segs);
-  std::atomic<int32_t> status(0);
-
-  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
-  int workers =
-      static_cast<int>(std::min<int64_t>(std::max(1, n_threads), n_segs));
-  std::atomic<int64_t> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int64_t s = next.fetch_add(1);
-      if (s >= n_segs || status.load(std::memory_order_relaxed)) return;
-      int64_t lo = ri ? s * ri : 0;
-      int64_t hi = ri ? std::min<int64_t>(lo + ri, total_mcus) : total_mcus;
-      int rc = pack_range(a, lo, hi, packers[s]);
-      packers[s].align();
-      if (rc) status.store(rc);
-    }
-  };
-  if (workers <= 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    for (int t = 0; t < workers; t++) pool.emplace_back(worker);
-    for (auto& t : pool) t.join();
+// Plane-direct pack: per-component int16 zigzag block planes straight
+// from the device FDCT stage (no NumPy MCU-interleave materialization,
+// half the coefficient bytes of the int32 layout). unit_params is
+// [units_per_mcu x 8] int32: (comp, fh, fv, j, k, sci, dc_table,
+// ac_table); plane_bw gives blocks-per-row per component.
+int32_t jdt_encode_scan_planes(
+    const int16_t* const* planes, const int64_t* plane_bw, int32_t n_comps,
+    int32_t mcus_x, int64_t total_mcus, int32_t units_per_mcu,
+    const int32_t* unit_params, const uint16_t* const* dc_codes,
+    const uint8_t* const* dc_sizes, int32_t n_dc,
+    const uint16_t* const* ac_codes, const uint8_t* const* ac_sizes,
+    int32_t n_ac, int64_t ri, int32_t n_threads, uint8_t** out,
+    int64_t* out_len) {
+  if (total_mcus <= 0 || units_per_mcu <= 0 || mcus_x <= 0 || n_comps <= 0)
+    return 2;
+  std::vector<EncTable> tdc(n_dc), tac(n_ac);
+  for (int32_t i = 0; i < n_dc; i++)
+    tdc[i] = EncTable{dc_codes[i], dc_sizes[i]};
+  for (int32_t i = 0; i < n_ac; i++)
+    tac[i] = EncTable{ac_codes[i], ac_sizes[i]};
+  std::vector<PlaneUnit> pus(units_per_mcu);
+  for (int32_t u = 0; u < units_per_mcu; u++) {
+    const int32_t* q = unit_params + u * 8;
+    if (q[0] < 0 || q[0] >= n_comps || q[5] < 0 || q[5] > 3 || q[6] < 0 ||
+        q[6] >= n_dc || q[7] < 0 || q[7] >= n_ac)
+      return 2;
+    pus[u] = PlaneUnit{planes[q[0]], plane_bw[q[0]],
+                       q[1], q[2], q[3], q[4], q[5], q[6], q[7]};
   }
-  if (int32_t rc = status.load()) return rc;
-
-  int64_t total = 0;
-  for (auto& p : packers) total += static_cast<int64_t>(p.w);
-  total += 2 * (n_segs - 1);  // RSTn markers
-  uint8_t* buf = static_cast<uint8_t*>(std::malloc(std::max<int64_t>(total, 1)));
-  if (!buf) return 3;
-  int64_t off = 0;
-  for (int64_t s = 0; s < n_segs; s++) {
-    std::memcpy(buf + off, packers[s].out.data(), packers[s].w);
-    off += static_cast<int64_t>(packers[s].w);
-    if (s + 1 < n_segs) {
-      buf[off++] = 0xFF;
-      buf[off++] = 0xD0 + static_cast<uint8_t>(s & 7);
-    }
-  }
-  *out = buf;
-  *out_len = off;
-  return 0;
+  return encode_segments(
+      total_mcus, ri, n_threads,
+      [&](int64_t lo, int64_t hi, BitPacker& bp) {
+        return pack_range_planes(pus.data(), units_per_mcu, tdc.data(),
+                                 tac.data(), mcus_x, lo, hi, bp);
+      },
+      out, out_len);
 }
 
 }  // extern "C"
