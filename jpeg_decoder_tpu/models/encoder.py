@@ -106,6 +106,22 @@ def _build_device_stage(h: int, w: int, subsampling: str,
     return jax.jit(stage), factors, (mcus_x, mcus_y)
 
 
+def _unit_layout(factors, n_tables: int) -> tuple[np.ndarray, list[int]]:
+    """Per-unit-in-MCU descriptor rows for the plane-direct native packer:
+    [units_per_mcu, 8] int32 (comp, fh, fv, j, k, sci, dc_table, ac_table),
+    in spec A.2.3 unit order (component, then top-to-bottom/left-to-right
+    within the component's sampling region). Returns (unit_params,
+    unit_sci)."""
+    rows, unit_sci = [], []
+    for ci, (fh, fv) in enumerate(factors):
+        t = 0 if ci == 0 else n_tables - 1
+        for j in range(fv):
+            for k in range(fh):
+                rows.append((ci, fh, fv, j, k, ci, t, t))
+                unit_sci.append(ci)
+    return np.asarray(rows, dtype=np.int32), unit_sci
+
+
 def _mcu_order(coeffs: list[np.ndarray], factors, mcus_x: int, mcus_y: int):
     """Flatten per-component [by, bx, 64] planes into MCU-interleaved unit
     order (spec A.2.3); returns (blocks [n_units_total, 64], per-unit
@@ -134,75 +150,78 @@ class JpegEncoder:
         self.cfg = cfg or EncodeConfig()
 
     @staticmethod
-    def _pack(blocks, mcu_blocks_fn, dc_tables, ac_tables, table_of_unit,
-              unit_sci, units_per_mcu, cfg):
-        """Entropy pack: native C++ (segment-parallel) with Python fallback
-        (byte-identical; tested in test_encoder.py). `mcu_blocks_fn` is a
-        thunk: the 194k-element per-unit tuple list it builds is only
-        needed by the Python fallback, so the native path never pays it."""
-        from ..native import runtime as native_runtime
-
-        if native_runtime.available():
-            try:
-                return native_runtime.encode_scan_native(
-                    blocks,
-                    np.asarray(unit_sci, dtype=np.int32),
-                    np.asarray([t[0] for t in table_of_unit], dtype=np.int32),
-                    np.asarray([t[1] for t in table_of_unit], dtype=np.int32),
-                    dc_tables, ac_tables, cfg.restart_interval,
-                )
-            except (RuntimeError, ValueError):
-                pass  # fall through to the Python packer
-        return entropy_encode.encode_blocks(
-            mcu_blocks_fn(), dc_tables, ac_tables, table_of_unit,
-            units_per_mcu, cfg.restart_interval,
-        )
-
-    def encode(self, img: np.ndarray) -> bytes:
-        cfg = self.cfg
-        img = np.asarray(img)
-        gray = cfg.subsampling == "gray" or img.ndim == 2
-        if img.ndim == 2:
-            h, w = img.shape
-        elif img.ndim == 3 and img.shape[2] == 3:
-            h, w = img.shape[:2]
-        else:
-            raise JpegConfigError(
-                f"expected [H,W] gray or [H,W,3] RGB, got {img.shape}"
-            )
-        if img.dtype != np.uint8:
-            raise JpegConfigError("input must be uint8")
-
-        qt_l, qt_c = quality_qtables(cfg.quality)
-        qt_bytes = (qt_l.tobytes(), qt_c.tobytes())
-        stage, factors, (mcus_x, mcus_y) = _build_device_stage(
-            h, w, cfg.subsampling, qt_bytes, gray
-        )
-        coeffs = [np.asarray(c) for c in stage(jnp.asarray(img))]
-        if cfg.progressive:
-            return self._assemble_progressive(
-                cfg, h, w, gray, coeffs, factors, (qt_l, qt_c)
-            )
+    def _fallback_order(coeffs, factors, mcus_x, mcus_y, n_tables):
+        """Materialized MCU-interleaved layout for the Python packer (the
+        native path never pays this reshuffle)."""
         blocks, unit_sci, units_per_mcu = _mcu_order(
             coeffs, factors, mcus_x, mcus_y
         )
-
-        # --- Huffman tables -------------------------------------------------
-        n_tables = 1 if gray else 2
-        # table index per unit: luma -> 0, chroma -> 1
         table_of_unit = [
             (0, 0) if sci == 0 else (n_tables - 1, n_tables - 1)
             for sci in unit_sci
         ]
+        mcu_blocks = [
+            (unit_sci[i % units_per_mcu], blocks[i])
+            for i in range(blocks.shape[0])
+        ]
+        return mcu_blocks, table_of_unit, units_per_mcu
 
-        def mcu_blocks_fn():
-            return [(unit_sci[i % units_per_mcu], blocks[i])
-                    for i in range(blocks.shape[0])]
+    @classmethod
+    def _pack(cls, coeffs, factors, mcus_x, mcus_y, dc_tables, ac_tables,
+              n_tables, cfg):
+        """Entropy pack: plane-direct native C++ (segment-parallel; the MCU
+        interleave is ADDRESSED inside the walk over the device stage's
+        [by, bx, 64] int16 planes, never materialized as a host reshuffle)
+        with a Python fallback (byte-identical; tested in
+        test_encoder.py::test_plane_packer_byte_identical)."""
+        from ..native import runtime as native_runtime
 
+        if native_runtime.available():
+            unit_params, _ = _unit_layout(factors, n_tables)
+            try:
+                return native_runtime.encode_scan_planes(
+                    coeffs, mcus_x, mcus_x * mcus_y, unit_params,
+                    dc_tables, ac_tables, cfg.restart_interval,
+                )
+            except (RuntimeError, ValueError):
+                pass  # fall through to the Python packer
+        mcu_blocks, table_of_unit, units_per_mcu = cls._fallback_order(
+            coeffs, factors, mcus_x, mcus_y, n_tables
+        )
+        return entropy_encode.encode_blocks(
+            mcu_blocks, dc_tables, ac_tables, table_of_unit,
+            units_per_mcu, cfg.restart_interval,
+        )
+
+    @classmethod
+    def _count(cls, coeffs, factors, mcus_x, mcus_y, n_tables, cfg):
+        """Symbol-frequency pass for two-pass optimized tables: native
+        plane-direct count (count-identical to the Python walk; tested in
+        test_encoder.py) with the Python fallback."""
+        from ..native import runtime as native_runtime
+
+        if native_runtime.available():
+            unit_params, _ = _unit_layout(factors, n_tables)
+            try:
+                return native_runtime.count_scan_planes(
+                    coeffs, mcus_x, mcus_x * mcus_y, unit_params,
+                    n_tables, n_tables, cfg.restart_interval,
+                )
+            except (RuntimeError, ValueError):
+                pass
+        mcu_blocks, table_of_unit, units_per_mcu = cls._fallback_order(
+            coeffs, factors, mcus_x, mcus_y, n_tables
+        )
+        return entropy_encode.count_symbols(
+            mcu_blocks, n_tables, n_tables, table_of_unit,
+            units_per_mcu, cfg.restart_interval,
+        )
+
+    def _huffman_specs(self, cfg, coeffs, factors, mcus_x, mcus_y, gray):
+        n_tables = 1 if gray else 2
         if cfg.huffman == "optimized":
-            freq_dc, freq_ac = entropy_encode.count_symbols(
-                mcu_blocks_fn(), n_tables, n_tables, table_of_unit,
-                units_per_mcu, cfg.restart_interval,
+            freq_dc, freq_ac = self._count(
+                coeffs, factors, mcus_x, mcus_y, n_tables, cfg
             )
             dc_specs = [
                 dataclasses.replace(
@@ -224,16 +243,40 @@ class JpegEncoder:
             if not gray:
                 dc_specs.append(huffman.annex_k_dc_chrominance())
                 ac_specs.append(huffman.annex_k_ac_chrominance())
+        return dc_specs, ac_specs
 
+    @staticmethod
+    def _geometry(img, cfg):
+        """Validate the input array; returns (h, w, gray)."""
+        gray = cfg.subsampling == "gray" or img.ndim == 2
+        if img.ndim == 2:
+            h, w = img.shape
+        elif img.ndim == 3 and img.shape[2] == 3:
+            h, w = img.shape[:2]
+        else:
+            raise JpegConfigError(
+                f"expected [H,W] gray or [H,W,3] RGB, got {img.shape}"
+            )
+        if img.dtype != np.uint8:
+            raise JpegConfigError("input must be uint8")
+        return h, w, gray
+
+    def _assemble_baseline(self, cfg, h, w, gray, coeffs, factors,
+                           mcus_x, mcus_y, qts) -> bytes:
+        """Tables + entropy pack + marker assembly (spec B.2) for a
+        baseline (SOF0) frame from fetched coefficient planes."""
+        qt_l, qt_c = qts
+        n_tables = 1 if gray else 2
+        dc_specs, ac_specs = self._huffman_specs(
+            cfg, coeffs, factors, mcus_x, mcus_y, gray
+        )
         dc_tables = [huffman.build_encode_table(s) for s in dc_specs]
         ac_tables = [huffman.build_encode_table(s) for s in ac_specs]
-
         entropy = self._pack(
-            blocks, mcu_blocks_fn, dc_tables, ac_tables, table_of_unit,
-            unit_sci, units_per_mcu, cfg,
+            coeffs, factors, mcus_x, mcus_y, dc_tables, ac_tables,
+            n_tables, cfg,
         )
 
-        # --- Assemble the stream (spec B.2) --------------------------------
         parts = [writer.soi(), writer.app0_jfif()]
         parts.append(writer.dqt(0, qt_l))
         if not gray:
@@ -258,6 +301,64 @@ class JpegEncoder:
         parts.append(entropy)
         parts.append(writer.eoi())
         return b"".join(parts)
+
+    def encode(self, img: np.ndarray) -> bytes:
+        cfg = self.cfg
+        img = np.asarray(img)
+        h, w, gray = self._geometry(img, cfg)
+
+        qt_l, qt_c = quality_qtables(cfg.quality)
+        qt_bytes = (qt_l.tobytes(), qt_c.tobytes())
+        stage, factors, (mcus_x, mcus_y) = _build_device_stage(
+            h, w, cfg.subsampling, qt_bytes, gray
+        )
+        coeffs = [np.asarray(c) for c in stage(jnp.asarray(img))]
+        if cfg.progressive:
+            return self._assemble_progressive(
+                cfg, h, w, gray, coeffs, factors, (qt_l, qt_c)
+            )
+        return self._assemble_baseline(
+            cfg, h, w, gray, coeffs, factors, mcus_x, mcus_y, (qt_l, qt_c)
+        )
+
+    def encode_stream(self, imgs):
+        """Pipelined streaming encode: yields JPEG bytes per input image.
+
+        The device FDCT+quantize stage of image k+1 is DISPATCHED (jax
+        dispatch is async) before the host packs image k, so in steady
+        state the device computes ahead while the host does Huffman
+        packing — the encode mirror of parallel/batch.decode_stream.
+        Output bytes are identical to per-image encode() calls
+        (tested in test_encoder.py::test_encode_stream_matches_encode)."""
+        cfg = self.cfg
+        pending = None  # (dev_coeffs, h, w, gray, factors, mx, my, qts)
+
+        def finish(p):
+            dev_coeffs, h, w, gray, factors, mx, my, qts = p
+            coeffs = [np.asarray(c) for c in dev_coeffs]  # sync on image k
+            if cfg.progressive:
+                return self._assemble_progressive(
+                    cfg, h, w, gray, coeffs, factors, qts
+                )
+            return self._assemble_baseline(
+                cfg, h, w, gray, coeffs, factors, mx, my, qts
+            )
+
+        qt_l, qt_c = quality_qtables(cfg.quality)
+        qt_bytes = (qt_l.tobytes(), qt_c.tobytes())
+        for img in imgs:
+            img = np.asarray(img)
+            h, w, gray = self._geometry(img, cfg)
+            stage, factors, (mx, my) = _build_device_stage(
+                h, w, cfg.subsampling, qt_bytes, gray
+            )
+            dev_coeffs = stage(jnp.asarray(img))  # async dispatch (k+1)
+            if pending is not None:
+                yield finish(pending)  # host pack (k) under device (k+1)
+            pending = (dev_coeffs, h, w, gray, factors, mx, my,
+                       (qt_l, qt_c))
+        if pending is not None:
+            yield finish(pending)
 
 
 def encode(img: np.ndarray, cfg: EncodeConfig | None = None) -> bytes:

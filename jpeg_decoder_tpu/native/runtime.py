@@ -62,8 +62,22 @@ def _load():
             log.error("cannot load native runtime: %s", e)
             _lib_failed = True
             return None
+        # ABI gate FIRST: a stale library (e.g. an old build pinned via
+        # JDT_LIB) may predate newer entry points, so binding any symbol
+        # before the version check would raise an uncaught AttributeError
+        # instead of the graceful "ABI mismatch" fallback below.
+        try:
+            lib.jdt_version.restype = ctypes.c_int32
+            version = lib.jdt_version()
+        except AttributeError:
+            version = -1
+        if version != 12:
+            log.error(
+                "native runtime ABI mismatch (got %d, want 12)", version
+            )
+            _lib_failed = True
+            return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.jdt_version.restype = ctypes.c_int32
         lib.jdt_decode_sequential.restype = ctypes.c_int32
         u16p = ctypes.POINTER(ctypes.c_uint16)
         i32pp = ctypes.POINTER(ctypes.c_int32)
@@ -139,6 +153,7 @@ def _load():
         lib.jdt_encode_scan_planes.argtypes = [
             ctypes.POINTER(i16pp),               # planes (per-comp blocks)
             ctypes.POINTER(ctypes.c_int64),      # plane_bw (per comp)
+            ctypes.POINTER(ctypes.c_int64),      # plane_bh (per comp)
             ctypes.c_int32,                      # n_comps
             ctypes.c_int32,                      # mcus_x
             ctypes.c_int64,                      # total_mcus
@@ -154,6 +169,23 @@ def _load():
             ctypes.c_int32,                      # n_threads
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),   # out
             ctypes.POINTER(ctypes.c_int64),      # out_len
+        ]
+        lib.jdt_count_scan_planes.restype = ctypes.c_int32
+        lib.jdt_count_scan_planes.argtypes = [
+            ctypes.POINTER(i16pp),               # planes (per-comp blocks)
+            ctypes.POINTER(ctypes.c_int64),      # plane_bw (per comp)
+            ctypes.POINTER(ctypes.c_int64),      # plane_bh (per comp)
+            ctypes.c_int32,                      # n_comps
+            ctypes.c_int32,                      # mcus_x
+            ctypes.c_int64,                      # total_mcus
+            ctypes.c_int32,                      # units_per_mcu
+            ctypes.POINTER(ctypes.c_int32),      # unit_params [upm x 8]
+            ctypes.c_int32,                      # n_dc
+            ctypes.c_int32,                      # n_ac
+            ctypes.c_int64,                      # ri
+            ctypes.c_int32,                      # n_threads
+            ctypes.POINTER(ctypes.c_int64),      # dc_freq [n_dc * 256]
+            ctypes.POINTER(ctypes.c_int64),      # ac_freq [n_ac * 256]
         ]
         lib.jdt_free.restype = None
         lib.jdt_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
@@ -183,10 +215,6 @@ def _load():
             i64p, i64p,                            # end_out, n_segs_out
             i64p,                                  # err_out [seg, mcu]
         ]
-        if lib.jdt_version() != 11:
-            log.error("native runtime ABI mismatch")
-            _lib_failed = True
-            return None
         _lib = lib
         return _lib
 
@@ -771,43 +799,30 @@ def encode_scan_native(
         lib.jdt_free(out_ptr)
 
 
-def encode_scan_planes(
-    planes: list[np.ndarray],
-    plane_bw: list[int],
-    mcus_x: int,
-    total_mcus: int,
-    unit_params: np.ndarray,
-    dc_tables,
-    ac_tables,
-    restart_interval: int = 0,
-    num_threads: int = 0,
-) -> bytes:
-    """Pack one scan straight from per-component block planes.
-
-    planes: per component, a C-contiguous int16 [by, bx, 64] zigzag block
-    array exactly as the device FDCT stage emits it — the MCU interleave
-    (spec A.2.3) is addressed inside the C++ walk instead of materialized
-    by a NumPy reshuffle, and int16 halves the coefficient bytes of the
-    int32 layout (quantized 8-bit-precision coefficients are <= 11 bits,
-    T.81 F.1). unit_params: [units_per_mcu, 8] int32 rows
-    (comp, fh, fv, j, k, sci, dc_table, ac_table). Byte-identical to
-    encode_scan_native on the reordered layout (differential-tested)."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native runtime unavailable")
+def _plane_call_args(planes, unit_params):
+    """Shared marshalling for the plane-direct encode/count entries:
+    validates shapes and returns (plane_ptrs, bw_arr, bh_arr, unit_params,
+    keepalive) — keepalive pins any contiguity copies for the call."""
+    i16p = ctypes.POINTER(ctypes.c_int16)
     planes = [np.ascontiguousarray(p, dtype=np.int16) for p in planes]
+    for p in planes:
+        if p.ndim != 3 or p.shape[2] != 64:
+            raise ValueError("each plane must be [by, bx, 64] int16")
     unit_params = np.ascontiguousarray(unit_params, dtype=np.int32)
     if unit_params.ndim != 2 or unit_params.shape[1] != 8:
         raise ValueError("unit_params must be [units_per_mcu, 8]")
-
-    u16p = ctypes.POINTER(ctypes.c_uint16)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    i16p = ctypes.POINTER(ctypes.c_int16)
-    i32p = ctypes.POINTER(ctypes.c_int32)
     plane_ptrs = (i16p * len(planes))(
         *[p.ctypes.data_as(i16p) for p in planes]
     )
-    bw_arr = np.asarray(plane_bw, dtype=np.int64)
+    bw_arr = np.asarray([p.shape[1] for p in planes], dtype=np.int64)
+    bh_arr = np.asarray([p.shape[0] for p in planes], dtype=np.int64)
+    return plane_ptrs, bw_arr, bh_arr, unit_params, planes
+
+
+def _table_call_args(dc_tables, ac_tables):
+    """ctypes arrays-of-pointers for EncodeTable lists (+ keepalive)."""
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
     keepalive = [
         (np.ascontiguousarray(t.code, dtype=np.uint16),
          np.ascontiguousarray(t.size, dtype=np.uint8))
@@ -828,18 +843,53 @@ def encode_scan_planes(
         *[keepalive[n_dc + i][1].ctypes.data_as(u8p)
           for i in range(len(ac_tables))]
     )
+    return dc_codes, dc_sizes, ac_codes, ac_sizes, keepalive
 
+
+def encode_scan_planes(
+    planes: list[np.ndarray],
+    mcus_x: int,
+    total_mcus: int,
+    unit_params: np.ndarray,
+    dc_tables,
+    ac_tables,
+    restart_interval: int = 0,
+    num_threads: int = 0,
+) -> bytes:
+    """Pack one scan straight from per-component block planes.
+
+    planes: per component, a C-contiguous int16 [by, bx, 64] zigzag block
+    array exactly as the device FDCT stage emits it — the MCU interleave
+    (spec A.2.3) is addressed inside the C++ walk instead of materialized
+    by a NumPy reshuffle, and int16 halves the coefficient bytes of the
+    int32 layout (quantized 8-bit-precision coefficients are <= 11 bits,
+    T.81 F.1). unit_params: [units_per_mcu, 8] int32 rows
+    (comp, fh, fv, j, k, sci, dc_table, ac_table). Byte-identical to
+    encode_scan_native on the reordered layout
+    (tests/test_encoder.py::test_plane_packer_byte_identical)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    plane_ptrs, bw_arr, bh_arr, unit_params, _keep = _plane_call_args(
+        planes, unit_params
+    )
+    dc_codes, dc_sizes, ac_codes, ac_sizes, _keep2 = _table_call_args(
+        dc_tables, ac_tables
+    )
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     out_ptr = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_int64(0)
     rc = lib.jdt_encode_scan_planes(
         plane_ptrs,
-        bw_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(planes),
+        bw_arr.ctypes.data_as(i64p),
+        bh_arr.ctypes.data_as(i64p),
+        len(_keep),
         mcus_x,
         total_mcus,
         unit_params.shape[0],
         unit_params.ctypes.data_as(i32p),
-        dc_codes, dc_sizes, n_dc,
+        dc_codes, dc_sizes, len(dc_tables),
         ac_codes, ac_sizes, len(ac_tables),
         restart_interval,
         num_threads,
@@ -852,6 +902,50 @@ def encode_scan_planes(
         return ctypes.string_at(out_ptr, out_len.value)
     finally:
         lib.jdt_free(out_ptr)
+
+
+def count_scan_planes(
+    planes: list[np.ndarray],
+    mcus_x: int,
+    total_mcus: int,
+    unit_params: np.ndarray,
+    n_dc: int,
+    n_ac: int,
+    restart_interval: int = 0,
+    num_threads: int = 0,
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Symbol-frequency pass over the plane-direct layout (two-pass
+    optimized Huffman tables). Returns (freq_dc, freq_ac) as lists of
+    int64[256] arrays — count-identical to
+    core/entropy_encode.count_symbols on the reordered layout."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    plane_ptrs, bw_arr, bh_arr, unit_params, _keep = _plane_call_args(
+        planes, unit_params
+    )
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    dc_freq = np.zeros((n_dc, 256), dtype=np.int64)
+    ac_freq = np.zeros((n_ac, 256), dtype=np.int64)
+    rc = lib.jdt_count_scan_planes(
+        plane_ptrs,
+        bw_arr.ctypes.data_as(i64p),
+        bh_arr.ctypes.data_as(i64p),
+        len(_keep),
+        mcus_x,
+        total_mcus,
+        unit_params.shape[0],
+        unit_params.ctypes.data_as(i32p),
+        n_dc, n_ac,
+        restart_interval,
+        num_threads,
+        dc_freq.ctypes.data_as(i64p),
+        ac_freq.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        raise ValueError(f"native symbol count failed (status {rc})")
+    return list(dc_freq), list(ac_freq)
 
 
 def entropy_decode(

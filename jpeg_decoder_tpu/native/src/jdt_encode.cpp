@@ -270,10 +270,9 @@ struct PlaneUnit {
   int32_t sci, dc, ac;
 };
 
-int pack_range_planes(const PlaneUnit* pus, int32_t upm,
-                      const EncTable* tdc, const EncTable* tac,
-                      int32_t mcus_x, int64_t mcu_lo, int64_t mcu_hi,
-                      BitPacker& bp) {
+template <typename PerUnit>
+inline int walk_planes(const PlaneUnit* pus, int32_t upm, int32_t mcus_x,
+                       int64_t mcu_lo, int64_t mcu_hi, PerUnit&& f) {
   int64_t my = mcu_lo / mcus_x;
   int32_t mx = static_cast<int32_t>(mcu_lo % mcus_x);
   int32_t preds[4] = {0, 0, 0, 0};
@@ -283,12 +282,103 @@ int pack_range_planes(const PlaneUnit* pus, int32_t upm,
       const int16_t* unit =
           pu.base + ((my * pu.fv + pu.j) * pu.bw +
                      static_cast<int64_t>(mx) * pu.fh + pu.k) * 64;
-      if (pack_du(unit, tdc[pu.dc], tac[pu.ac], pu.sci, preds, bp)) return 1;
+      if (f(unit, pu, preds)) return 1;
     }
     if (++mx == mcus_x) {
       mx = 0;
       my++;
     }
+  }
+  return 0;
+}
+
+int pack_range_planes(const PlaneUnit* pus, int32_t upm,
+                      const EncTable* tdc, const EncTable* tac,
+                      int32_t mcus_x, int64_t mcu_lo, int64_t mcu_hi,
+                      BitPacker& bp) {
+  return walk_planes(
+      pus, upm, mcus_x, mcu_lo, mcu_hi,
+      [&](const int16_t* unit, const PlaneUnit& pu, int32_t preds[4]) {
+        return pack_du(unit, tdc[pu.dc], tac[pu.ac], pu.sci, preds, bp);
+      });
+}
+
+// Count one data unit's symbols (the frequency pass of two-pass optimized
+// tables, Annex K.2). Mirrors core/entropy_encode._encode_one_block's
+// counting mode exactly; same AVX2 nonzero-mask walk as pack_du.
+inline int count_du(const int16_t* unit, int32_t sci, int32_t preds[4],
+                    int64_t* dcf, int64_t* acf) {
+  int32_t dc = unit[0];
+  int32_t diff = dc - preds[sci];
+  preds[sci] = dc;
+  int s = csize_fast(diff);
+  if (s > 15) return 1;
+  dcf[s]++;
+#if defined(__AVX2__)
+  uint64_t nz = nz_mask(unit) & ~1ull;
+  int prev = 0;
+  while (nz) {
+    int k = __builtin_ctzll(nz);
+    nz &= nz - 1;
+    int run = k - prev - 1;
+    prev = k;
+    while (run >= 16) {
+      acf[0xF0]++;
+      run -= 16;
+    }
+    s = csize_fast(unit[k]);
+    if (s > 15) return 1;
+    acf[(run << 4) | s]++;
+  }
+  if (prev < 63) acf[0x00]++;
+#else
+  int run = 0;
+  for (int k = 1; k < 64; k++) {
+    if (unit[k] == 0) {
+      run++;
+      continue;
+    }
+    while (run >= 16) {
+      acf[0xF0]++;
+      run -= 16;
+    }
+    s = csize_fast(unit[k]);
+    if (s > 15) return 1;
+    acf[(run << 4) | s]++;
+    run = 0;
+  }
+  if (run) acf[0x00]++;
+#endif
+  return 0;
+}
+
+// Validate the per-MCU unit descriptors and the plane dimensions they
+// address: a bad caller must get status 2, not an out-of-bounds read
+// ((my*fv + j) must stay inside plane_bh rows, (mx*fh + k) inside
+// plane_bw columns, for every MCU of the walk).
+int32_t build_plane_units(const int16_t* const* planes,
+                          const int64_t* plane_bw, const int64_t* plane_bh,
+                          int32_t n_comps, int32_t mcus_x, int64_t total_mcus,
+                          int32_t upm, const int32_t* unit_params,
+                          int32_t n_dc, int32_t n_ac,
+                          std::vector<PlaneUnit>& pus) {
+  if (total_mcus <= 0 || upm <= 0 || mcus_x <= 0 || n_comps <= 0 ||
+      total_mcus % mcus_x != 0)
+    return 2;
+  int64_t mcus_y = total_mcus / mcus_x;
+  pus.resize(upm);
+  for (int32_t u = 0; u < upm; u++) {
+    const int32_t* q = unit_params + u * 8;
+    if (q[0] < 0 || q[0] >= n_comps || q[1] < 1 || q[1] > 4 || q[2] < 1 ||
+        q[2] > 4 || q[3] < 0 || q[3] >= q[2] || q[4] < 0 || q[4] >= q[1] ||
+        q[5] < 0 || q[5] > 3 || q[6] < 0 || q[6] >= n_dc || q[7] < 0 ||
+        q[7] >= n_ac)
+      return 2;
+    if (!planes[q[0]] || plane_bw[q[0]] < static_cast<int64_t>(mcus_x) * q[1] ||
+        plane_bh[q[0]] < mcus_y * q[2])
+      return 2;
+    pus[u] = PlaneUnit{planes[q[0]], plane_bw[q[0]],
+                       q[1], q[2], q[3], q[4], q[5], q[6], q[7]};
   }
   return 0;
 }
@@ -387,29 +477,23 @@ int32_t jdt_encode_scan(const int32_t* blocks, int64_t total_units,
 // [units_per_mcu x 8] int32: (comp, fh, fv, j, k, sci, dc_table,
 // ac_table); plane_bw gives blocks-per-row per component.
 int32_t jdt_encode_scan_planes(
-    const int16_t* const* planes, const int64_t* plane_bw, int32_t n_comps,
-    int32_t mcus_x, int64_t total_mcus, int32_t units_per_mcu,
-    const int32_t* unit_params, const uint16_t* const* dc_codes,
-    const uint8_t* const* dc_sizes, int32_t n_dc,
-    const uint16_t* const* ac_codes, const uint8_t* const* ac_sizes,
-    int32_t n_ac, int64_t ri, int32_t n_threads, uint8_t** out,
-    int64_t* out_len) {
-  if (total_mcus <= 0 || units_per_mcu <= 0 || mcus_x <= 0 || n_comps <= 0)
-    return 2;
+    const int16_t* const* planes, const int64_t* plane_bw,
+    const int64_t* plane_bh, int32_t n_comps, int32_t mcus_x,
+    int64_t total_mcus, int32_t units_per_mcu, const int32_t* unit_params,
+    const uint16_t* const* dc_codes, const uint8_t* const* dc_sizes,
+    int32_t n_dc, const uint16_t* const* ac_codes,
+    const uint8_t* const* ac_sizes, int32_t n_ac, int64_t ri,
+    int32_t n_threads, uint8_t** out, int64_t* out_len) {
+  std::vector<PlaneUnit> pus;
+  if (int32_t rc = build_plane_units(planes, plane_bw, plane_bh, n_comps,
+                                     mcus_x, total_mcus, units_per_mcu,
+                                     unit_params, n_dc, n_ac, pus))
+    return rc;
   std::vector<EncTable> tdc(n_dc), tac(n_ac);
   for (int32_t i = 0; i < n_dc; i++)
     tdc[i] = EncTable{dc_codes[i], dc_sizes[i]};
   for (int32_t i = 0; i < n_ac; i++)
     tac[i] = EncTable{ac_codes[i], ac_sizes[i]};
-  std::vector<PlaneUnit> pus(units_per_mcu);
-  for (int32_t u = 0; u < units_per_mcu; u++) {
-    const int32_t* q = unit_params + u * 8;
-    if (q[0] < 0 || q[0] >= n_comps || q[5] < 0 || q[5] > 3 || q[6] < 0 ||
-        q[6] >= n_dc || q[7] < 0 || q[7] >= n_ac)
-      return 2;
-    pus[u] = PlaneUnit{planes[q[0]], plane_bw[q[0]],
-                       q[1], q[2], q[3], q[4], q[5], q[6], q[7]};
-  }
   return encode_segments(
       total_mcus, ri, n_threads,
       [&](int64_t lo, int64_t hi, BitPacker& bp) {
@@ -417,6 +501,66 @@ int32_t jdt_encode_scan_planes(
                                  tac.data(), mcus_x, lo, hi, bp);
       },
       out, out_len);
+}
+
+// Frequency-count pass over the same plane-direct layout (two-pass
+// optimized tables): fills dc_freq [n_dc * 256] / ac_freq [n_ac * 256]
+// with symbol counts identical to core/entropy_encode.count_symbols.
+// Restart segments count concurrently (DC predictors reset per segment,
+// so per-segment counts are independent and sum).
+int32_t jdt_count_scan_planes(
+    const int16_t* const* planes, const int64_t* plane_bw,
+    const int64_t* plane_bh, int32_t n_comps, int32_t mcus_x,
+    int64_t total_mcus, int32_t units_per_mcu, const int32_t* unit_params,
+    int32_t n_dc, int32_t n_ac, int64_t ri, int32_t n_threads,
+    int64_t* dc_freq, int64_t* ac_freq) {
+  std::vector<PlaneUnit> pus;
+  if (int32_t rc = build_plane_units(planes, plane_bw, plane_bh, n_comps,
+                                     mcus_x, total_mcus, units_per_mcu,
+                                     unit_params, n_dc, n_ac, pus))
+    return rc;
+  std::memset(dc_freq, 0, sizeof(int64_t) * 256 * n_dc);
+  std::memset(ac_freq, 0, sizeof(int64_t) * 256 * n_ac);
+  int64_t n_segs = (ri > 0) ? (total_mcus + ri - 1) / ri : 1;
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  int workers =
+      static_cast<int>(std::min<int64_t>(std::max(1, n_threads), n_segs));
+  std::vector<std::vector<int64_t>> local(
+      workers, std::vector<int64_t>(256 * (n_dc + n_ac), 0));
+  std::atomic<int64_t> next(0);
+  std::atomic<int32_t> status(0);
+  auto worker = [&](int w) {
+    int64_t* ld = local[w].data();
+    int64_t* la = ld + 256 * n_dc;
+    for (;;) {
+      int64_t s = next.fetch_add(1);
+      if (s >= n_segs || status.load(std::memory_order_relaxed)) return;
+      int64_t lo = ri ? s * ri : 0;
+      int64_t hi = ri ? std::min<int64_t>(lo + ri, total_mcus) : total_mcus;
+      int rc = walk_planes(
+          pus.data(), units_per_mcu, mcus_x, lo, hi,
+          [&](const int16_t* unit, const PlaneUnit& pu, int32_t preds[4]) {
+            return count_du(unit, pu.sci, preds, ld + pu.dc * 256,
+                            la + pu.ac * 256);
+          });
+      if (rc) status.store(rc);
+    }
+  };
+  if (workers <= 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < workers; t++) pool.emplace_back(worker, t);
+    for (auto& t : pool) t.join();
+  }
+  if (int32_t rc = status.load()) return rc;
+  for (int w = 0; w < workers; w++) {
+    const int64_t* ld = local[w].data();
+    for (int i = 0; i < 256 * n_dc; i++) dc_freq[i] += ld[i];
+    const int64_t* la = ld + 256 * n_dc;
+    for (int i = 0; i < 256 * n_ac; i++) ac_freq[i] += la[i];
+  }
+  return 0;
 }
 
 }  // extern "C"

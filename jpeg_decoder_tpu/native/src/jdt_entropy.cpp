@@ -2089,7 +2089,7 @@ void scan_span_core(const uint8_t* data, int64_t n, int64_t start,
 
 extern "C" {
 
-int32_t jdt_version() { return 11; }
+int32_t jdt_version() { return 12; }
 
 // Entropy-span prescan: find where a scan's entropy bytes end and every
 // in-scan RSTn offset, classifying each 0xFF as stuffing (next 0x00),

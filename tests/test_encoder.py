@@ -164,3 +164,145 @@ def test_native_packer_byte_identical_to_python():
             dc_t, ac_t, ri,
         )
         assert got == want, f"ri={ri}: native pack differs"
+
+
+# ---------------------------------------------------------------------------
+# Plane-direct native path (the MCU interleave addressed in the C++ walk)
+# ---------------------------------------------------------------------------
+
+
+def _plane_fixture(sub, h, w, seed=21):
+    """Device-stage coefficient planes + layout for a given subsampling."""
+    import jax.numpy as jnp
+
+    img = _smooth_rgb(h, w, seed=seed)
+    qt_l, qt_c = encoder.quality_qtables(75)
+    stage, factors, (mx, my) = encoder._build_device_stage(
+        h, w, sub, (qt_l.tobytes(), qt_c.tobytes()), False
+    )
+    coeffs = [np.asarray(c) for c in stage(jnp.asarray(img))]
+    return coeffs, factors, mx, my
+
+
+@pytest.mark.parametrize("sub", ["444", "420", "411", "mixed"])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_plane_packer_byte_identical(sub, ri):
+    """encode_scan_planes (plane-direct, int16) == the Python packer on the
+    materialized MCU-interleaved layout, byte for byte."""
+    from jpeg_decoder_tpu.core import entropy_encode, huffman
+    from jpeg_decoder_tpu.native import runtime as nr
+
+    if not nr.available():
+        pytest.skip("native runtime unavailable")
+    coeffs, factors, mx, my = _plane_fixture(sub, 40, 56)
+    n_tables = 2
+    mcu_blocks, table_of_unit, upm = encoder.JpegEncoder._fallback_order(
+        coeffs, factors, mx, my, n_tables
+    )
+    dc_specs = [huffman.annex_k_dc_luminance(), huffman.annex_k_dc_chrominance()]
+    ac_specs = [huffman.annex_k_ac_luminance(), huffman.annex_k_ac_chrominance()]
+    dc_t = [huffman.build_encode_table(s) for s in dc_specs]
+    ac_t = [huffman.build_encode_table(s) for s in ac_specs]
+    want = entropy_encode.encode_blocks(
+        mcu_blocks, dc_t, ac_t, table_of_unit, upm, ri
+    )
+    unit_params, _ = encoder._unit_layout(factors, n_tables)
+    got = nr.encode_scan_planes(
+        coeffs, mx, mx * my, unit_params, dc_t, ac_t, ri
+    )
+    assert got == want, f"{sub} ri={ri}: plane-direct pack differs"
+
+
+@pytest.mark.parametrize("sub", ["420", "mixed"])
+def test_native_count_matches_python(sub):
+    """jdt_count_scan_planes == core.entropy_encode.count_symbols."""
+    from jpeg_decoder_tpu.core import entropy_encode
+    from jpeg_decoder_tpu.native import runtime as nr
+
+    if not nr.available():
+        pytest.skip("native runtime unavailable")
+    coeffs, factors, mx, my = _plane_fixture(sub, 48, 48, seed=9)
+    n_tables = 2
+    mcu_blocks, table_of_unit, upm = encoder.JpegEncoder._fallback_order(
+        coeffs, factors, mx, my, n_tables
+    )
+    for ri in (0, 2):
+        want_dc, want_ac = entropy_encode.count_symbols(
+            mcu_blocks, n_tables, n_tables, table_of_unit, upm, ri
+        )
+        unit_params, _ = encoder._unit_layout(factors, n_tables)
+        got_dc, got_ac = nr.count_scan_planes(
+            coeffs, mx, mx * my, unit_params, n_tables, n_tables, ri
+        )
+        for t in range(n_tables):
+            np.testing.assert_array_equal(got_dc[t], want_dc[t])
+            np.testing.assert_array_equal(got_ac[t], want_ac[t])
+
+
+def test_plane_packer_rejects_bad_unit_params():
+    """Malformed unit descriptors / undersized planes must fail with a
+    typed error (status 2), never an out-of-bounds read."""
+    from jpeg_decoder_tpu.core import huffman
+    from jpeg_decoder_tpu.native import runtime as nr
+
+    if not nr.available():
+        pytest.skip("native runtime unavailable")
+    coeffs, factors, mx, my = _plane_fixture("420", 32, 32)
+    dc_t = [huffman.build_encode_table(huffman.annex_k_dc_luminance())]
+    ac_t = [huffman.build_encode_table(huffman.annex_k_ac_luminance())]
+    good, _ = encoder._unit_layout(factors, 1)
+    bad_cases = []
+    b = good.copy(); b[0, 3] = b[0, 2]      # j >= fv
+    bad_cases.append(b)
+    b = good.copy(); b[0, 4] = b[0, 1]      # k >= fh
+    bad_cases.append(b)
+    b = good.copy(); b[0, 0] = 7            # comp out of range
+    bad_cases.append(b)
+    b = good.copy(); b[0, 6] = 5            # dc table out of range
+    bad_cases.append(b)
+    b = good.copy(); b[0, 1] = 9            # fh > 4
+    bad_cases.append(b)
+    for bad in bad_cases:
+        with pytest.raises(ValueError):
+            nr.encode_scan_planes(coeffs, mx, mx * my, bad, dc_t, ac_t, 0)
+    # Undersized plane: luma claims (2,2) sampling but the plane is the
+    # 1x1-sized chroma array.
+    small = [coeffs[1], coeffs[1], coeffs[2]]
+    with pytest.raises(ValueError):
+        nr.encode_scan_planes(small, mx, mx * my, good, dc_t, ac_t, 0)
+
+
+def test_optimized_tables_native_equals_fallback_stream():
+    """Full optimized-mode encode must produce the same bytes whether the
+    count+pack run natively or through the Python fallback."""
+    from jpeg_decoder_tpu.native import runtime as nr
+
+    if not nr.available():
+        pytest.skip("native runtime unavailable")
+    img = _smooth_rgb(40, 48, seed=14)
+    cfg = EncodeConfig(quality=85, subsampling="420", huffman="optimized",
+                       restart_interval=2)
+    native = encoder.encode(img, cfg)
+
+    # Force the Python fallback by monkeypatching availability.
+    import jpeg_decoder_tpu.native.runtime as runtime_mod
+
+    orig = runtime_mod.available
+    runtime_mod.available = lambda: False
+    try:
+        fallback = encoder.encode(img, cfg)
+    finally:
+        runtime_mod.available = orig
+    assert native == fallback
+
+
+def test_encode_stream_matches_encode():
+    imgs = [_smooth_rgb(40, 56, seed=s) for s in (1, 2, 3)]
+    cfg = EncodeConfig(quality=88, subsampling="420", restart_interval=3)
+    enc = encoder.JpegEncoder(cfg)
+    streamed = list(enc.encode_stream(imgs))
+    assert streamed == [enc.encode(im) for im in imgs]
+    # Mixed geometry in one stream is allowed.
+    mixed = [_smooth_rgb(24, 24, seed=7), _smooth_rgb(40, 32, seed=8)]
+    assert list(enc.encode_stream(mixed)) == [enc.encode(im) for im in mixed]
+    assert list(enc.encode_stream([])) == []
