@@ -65,22 +65,40 @@ def _decode_cfg(args) -> DecodeConfig:
 
 def cmd_decode(args) -> int:
     cfg = _decode_cfg(args)
-    from .models.decoder import decode_file
 
     t0 = time.perf_counter()
-    # memmap streaming input: bytes page in lazily, so peak RSS is bounded
-    # by planes + output rather than 2x file size on gigapixel inputs.
-    img = decode_file(Path(args.input), cfg)
+    if args.streamed or args.striped:
+        # Gigapixel routes (parallel/stripes): --streamed bounds peak RSS
+        # to one chunk's intermediates; --striped shards MCU-row stripes
+        # over the mesh in one program. Both consume the file memmapped.
+        from .parallel import stripes as stripes_mod
+
+        mm = np.memmap(args.input, dtype=np.uint8, mode="r")
+        if args.streamed:
+            rgb = stripes_mod.decode_streamed(
+                mm, cfg, n_chunks=args.chunks
+            )
+        else:
+            rgb = stripes_mod.decode_striped(mm, cfg)
+        h, w = rgb.shape[:2]
+    else:
+        from .models.decoder import decode_file
+
+        # memmap streaming input: bytes page in lazily, so peak RSS is
+        # bounded by planes + output rather than 2x file size.
+        img = decode_file(Path(args.input), cfg)
+        rgb = img.rgb
+        h, w = img.height, img.width
     dt = time.perf_counter() - t0
     if args.out:
-        _write_image(Path(args.out), img.rgb)
+        _write_image(Path(args.out), rgb)
     if args.show:
         from PIL import Image
 
-        Image.fromarray(img.rgb, "RGB").show()
-    mp = img.width * img.height / 1e6
+        Image.fromarray(rgb, "RGB").show()
+    mp = w * h / 1e6
     print(
-        f"{img.width}x{img.height} ({mp:.2f} MP) in {dt*1e3:.1f} ms"
+        f"{w}x{h} ({mp:.2f} MP) in {dt*1e3:.1f} ms"
         f" = {mp/dt:.1f} MP/s",
         file=sys.stderr,
     )
@@ -171,6 +189,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("input")
     d.add_argument("out", nargs="?")
     d.add_argument("--show", action="store_true", help="open a viewer window")
+    d.add_argument("--streamed", action="store_true",
+                   help="bounded-memory chunked decode for gigapixel files "
+                        "(one ~32 MP chunk resident at a time)")
+    d.add_argument("--chunks", type=int, default=None,
+                   help="with --streamed: number of chunks (default: "
+                        "~32 MP of output per chunk)")
+    d.add_argument("--striped", action="store_true",
+                   help="MCU-row-striped decode sharded over the device "
+                        "mesh in one program")
     add_decode_opts(d)
     d.set_defaults(fn=cmd_decode)
 
@@ -179,7 +206,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("out")
     e.add_argument("--quality", type=int, default=85)
     e.add_argument("--subsampling", default="420",
-                   choices=["444", "422", "420", "gray"])
+                   choices=["444", "422", "420", "gray",
+                            "411", "440", "mixed"],
+                   help="chroma sampling; 411/440/mixed are the exotic-"
+                        "but-legal T.81 factor sets (Pillow cannot write "
+                        "them — this encoder is their corpus source)")
     e.add_argument("--restart-interval", type=int, default=0)
     e.add_argument("--optimize", action="store_true",
                    help="two-pass optimized Huffman tables")

@@ -139,3 +139,57 @@ def test_parsed_table_cache_is_frozen():
         spec.counts[0] = 1
     with pytest.raises(ValueError):
         spec.symbols[0] = 1
+
+
+def test_decode_streamed_and_striped_match_plain(sample_jpeg, tmp_path):
+    """--streamed / --striped route through the gigapixel engines and must
+    produce the same pixels as the plain decode."""
+    plain, streamed, striped = (
+        tmp_path / "a.npy", tmp_path / "b.npy", tmp_path / "c.npy"
+    )
+    assert cli.main(["decode", str(sample_jpeg), str(plain)]) == 0
+    assert cli.main(
+        ["decode", str(sample_jpeg), str(streamed), "--streamed",
+         "--chunks", "2"]
+    ) == 0
+    assert cli.main(
+        ["decode", str(sample_jpeg), str(striped), "--striped"]
+    ) == 0
+    want = np.load(plain)
+    np.testing.assert_array_equal(np.load(streamed), want)
+    np.testing.assert_array_equal(np.load(striped), want)
+
+
+@pytest.mark.parametrize("sub", ["411", "440", "mixed"])
+def test_encode_exotic_subsampling_flags(sub, tmp_path):
+    """The exotic-but-legal factor sets are reachable from the CLI and
+    the result decodes back through the CLI."""
+    rng = np.random.default_rng(3)
+    src = tmp_path / "in.npy"
+    np.save(src, rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
+    jpg = tmp_path / "out.jpg"
+    rc = cli.main(["encode", str(src), str(jpg), "--subsampling", sub,
+                   "--quality", "90"])
+    assert rc == 0 and jpg.stat().st_size > 0
+    out = tmp_path / "back.npy"
+    assert cli.main(["decode", str(jpg), str(out)]) == 0
+    assert np.load(out).shape == (40, 48, 3)
+
+
+def test_info_reports_progressive(tmp_path, capsys):
+    """`info` must expose the coding process and scan script for
+    progressive (SOF2) streams."""
+    from jpeg_decoder_tpu.models.encoder import encode
+    from jpeg_decoder_tpu.utils.config import EncodeConfig
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    p = tmp_path / "prog.jpg"
+    p.write_bytes(encode(img, EncodeConfig(progressive=True)))
+    assert cli.main(["info", str(p)]) == 0
+    text = capsys.readouterr().out
+    assert "PROGRESSIVE" in text
+    assert text.count("scan") >= 4  # DC scan + one AC scan per component
+    assert cli.main(["info", str(p), "--json"]) == 0
+    js = json.loads(capsys.readouterr().out)
+    assert "PROGRESSIVE" in js["process"]

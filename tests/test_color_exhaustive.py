@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 F32, F64 = np.float32, np.float64
 
 # The reference's constants (colour_conversion.c:71-74).

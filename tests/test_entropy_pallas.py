@@ -14,6 +14,8 @@ from jpeg_decoder_tpu.utils.config import DecodeConfig, EntropyBackend
 
 from . import corpus
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 CFG = DecodeConfig(entropy_backend=EntropyBackend.PALLAS)
 
 

@@ -17,6 +17,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 REPO = Path(__file__).resolve().parent.parent
 
 WORKER = textwrap.dedent(

@@ -87,6 +87,7 @@ class TestBatch:
             bd.decode_batch([a, b])
 
 
+@pytest.mark.slow  # soak tier; quick coverage stays in TestBatch/TestStream
 class TestStripes:
     @pytest.mark.parametrize("sub", ["444", "420"])
     def test_striped_matches_single(self, mesh_stripe8, sub):
@@ -180,6 +181,7 @@ class TestStripes:
         np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow  # soak tier; quick coverage stays in TestBatch/TestStream
 class TestStreamed:
     """decode_streamed: sequential per-chunk device dispatch (the bounded-
     memory gigapixel path) must be pixel-identical to whole-image decode
