@@ -337,15 +337,15 @@ def _tail_clean(data: np.ndarray, p: int) -> bool:
     return True
 
 
-def _fast_host_decode(
+def _fast_prepare(
     data: np.ndarray, cfg: DecodeConfig, pool: "PlanePool | None" = None
 ):
-    """One-scan sequential native decode without building a JpegStructure:
-    cached header parse + fused native prescan+decode + a tail-marker check.
-    Returns (frame, planes, qts) or None when the stream/config needs the
-    classic parse+decode path (which handles everything). Bit-identical to
-    the classic path by construction — same LUTs, same segment rules, same
-    native kernels (differential test: tests/test_fused_path.py)."""
+    """The SERIAL-PYTHON half of the fused host path: cached header parse,
+    scan layout/LUT resolution, plane-pool acquire. Returns the prepared
+    call bundle for _fast_execute, or None when the stream/config needs the
+    classic parse+decode path (which handles everything). Split from the
+    native half so host_decode_stream can run image k+1's Python under
+    image k's GIL-released native decode."""
     if cfg.entropy_backend != EntropyBackend.NATIVE:
         return None
     from ..native import runtime as native_runtime
@@ -384,6 +384,19 @@ def _fast_host_decode(
         and cfg.num_threads != 1
         and total_mcus * params.shape[0] >= 4096
     )
+    return (data, cfg, pool, hp, frame, total_mcus, params, luts, planes,
+            allow_spec)
+
+
+def _fast_execute(prep):
+    """The NATIVE half of the fused host path: one GIL-released
+    prescan+decode call + the tail-marker check. Returns (frame, planes,
+    qts) or None when the tail shows a multi-scan/DNL stream (caller falls
+    back to the classic path)."""
+    (data, cfg, pool, hp, frame, total_mcus, params, luts, planes,
+     allow_spec) = prep
+    from ..native import runtime as native_runtime
+
     with metrics.timer("entropy_native"):
         end, _n_segs = native_runtime.scan_decode_fused(
             data, hp.entropy_start, total_mcus, hp.restart_interval,
@@ -397,6 +410,21 @@ def _fast_host_decode(
             pool.release(planes)
         return None
     return frame, planes, hp.qts
+
+
+def _fast_host_decode(
+    data: np.ndarray, cfg: DecodeConfig, pool: "PlanePool | None" = None
+):
+    """One-scan sequential native decode without building a JpegStructure:
+    cached header parse + fused native prescan+decode + a tail-marker check.
+    Returns (frame, planes, qts) or None when the stream/config needs the
+    classic parse+decode path (which handles everything). Bit-identical to
+    the classic path by construction — same LUTs, same segment rules, same
+    native kernels (differential test: tests/test_fused_path.py)."""
+    prep = _fast_prepare(data, cfg, pool)
+    if prep is None:
+        return None
+    return _fast_execute(prep)
 
 
 class _StructureShim:
@@ -431,6 +459,60 @@ def host_decode(
     planes = pool.acquire(structure) if pool is not None else None
     planes, qts = _entropy_decode(structure, cfg, planes)
     return structure.frame, planes, qts
+
+
+def host_decode_stream(
+    datas,
+    cfg: DecodeConfig | None = None,
+    pool: "PlanePool | None" = None,
+):
+    """Pipelined host stage over a stream of JPEGs: yields (frame, planes,
+    qts) per input, in order — the sustained-serving form of host_decode.
+
+    While image k's segment-parallel native decode runs in a worker thread
+    (the ctypes call releases the GIL), the MAIN thread already runs image
+    k+1's serial Python: the cached header parse, scan-layout/LUT
+    resolution, plane-pool acquire, and ctypes marshalling. In steady
+    state the serial Python disappears under the native stage, so the
+    sustained per-image cost approaches the native decode alone (measured
+    in bench.py as host_stream_ms; single-image latency stays host_ms).
+    Results are identical to per-image host_decode calls
+    (tests/test_pipeline.py::test_host_decode_stream_matches_host_decode).
+
+    Inputs that the fused path cannot take (progressive, multi-scan, DNL,
+    non-native backends) fall back to the classic host_decode inside the
+    same worker, preserving order and the overlap of the NEXT image's
+    prepare."""
+    import concurrent.futures as cf
+
+    from ..io import bitstream as bs
+
+    cfg = cfg or DecodeConfig()
+
+    def _classic(d):
+        return host_decode(d, cfg, pool)
+
+    def _finish(fut, d):
+        res = fut.result()
+        # _fast_execute returns None on an unclean tail (multi-scan/DNL):
+        # re-decode through the classic path, like host_decode does.
+        return res if res is not None else _classic(d)
+
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        pending = None  # (future, raw data for the tail fallback)
+        for data_in in datas:
+            data = bs.as_byte_array(data_in)
+            prep = _fast_prepare(data, cfg, pool)  # overlaps pending decode
+            if pending is not None:
+                yield _finish(*pending)
+            pending = (
+                ex.submit(_fast_execute, prep)
+                if prep is not None
+                else ex.submit(_classic, data),
+                data,
+            )
+        if pending is not None:
+            yield _finish(*pending)
 
 
 # ---------------------------------------------------------------------------

@@ -897,9 +897,29 @@ __attribute__((always_inline)) static inline int reg_step(
   if (((((en >> 53) & 3) != 0) | (ci + off2 > 63)) == 0) {
     du[ci + ((en >> 32) & 15)] = static_cast<int16_t>(en & 0xFFFF);
     du[ci + off2] = static_cast<int16_t>((en >> 16) & 0xFFFF);
-    bp += (en >> 46) & 63;
+    int64_t b1 = (en >> 46) & 63;
     ci += off2 + 1;
-    if (ci < 64) return 0;
+    if (ci < 64) {
+      // Double-pump: a value-resolved entry consumes <= PAIR_BITS bits,
+      // so the shifted window still holds >= 64 - PAIR_BITS valid bits —
+      // probe it again in the SAME round, amortizing reg_win and the
+      // per-round stream overhead (measured +6% on the 4K q85 DRI
+      // workload, 1T paired A/B; a third pump measured a wash).
+      uint64_t w2 = w << b1;
+      uint64_t en2 = vac[static_cast<uint32_t>(w2 >> JDT_PAIR_SHIFT)];
+      int off2b = (en2 >> 36) & 63;
+      if (((((en2 >> 53) & 3) != 0) | (ci + off2b > 63)) == 0) {
+        du[ci + ((en2 >> 32) & 15)] = static_cast<int16_t>(en2 & 0xFFFF);
+        du[ci + off2b] = static_cast<int16_t>((en2 >> 16) & 0xFFFF);
+        bp += b1 + ((en2 >> 46) & 63);
+        ci += off2b + 1;
+        if (ci < 64) return 0;
+        goto du_done;
+      }
+      bp += b1;
+      return 0;
+    }
+    bp += b1;
     goto du_done;
   }
   {
@@ -1462,9 +1482,25 @@ __attribute__((always_inline)) static inline int spec_step(
     if (((((en >> 53) & 3) != 0) | (ci + off2 > 63)) == 0) {
       du[ci + ((en >> 32) & 15)] = static_cast<int16_t>(en & 0xFFFF);
       du[ci + off2] = static_cast<int16_t>((en >> 16) & 0xFFFF);
-      bp += (en >> 46) & 63;
+      int64_t b1 = (en >> 46) & 63;
       ci += off2 + 1;
-      if (ci < 64) return 0;
+      if (ci < 64) {
+        // Double-pump (mirrors reg_step bitwise — see its comment).
+        uint64_t w2 = w << b1;
+        uint64_t en2 = vac[static_cast<uint32_t>(w2 >> JDT_PAIR_SHIFT)];
+        int off2b = (en2 >> 36) & 63;
+        if (((((en2 >> 53) & 3) != 0) | (ci + off2b > 63)) == 0) {
+          du[ci + ((en2 >> 32) & 15)] = static_cast<int16_t>(en2 & 0xFFFF);
+          du[ci + off2b] = static_cast<int16_t>((en2 >> 16) & 0xFFFF);
+          bp += b1 + ((en2 >> 46) & 63);
+          ci += off2b + 1;
+          if (ci < 64) return 0;
+          goto du_done;
+        }
+        bp += b1;
+        return 0;
+      }
+      bp += b1;
       goto du_done;
     }
     int kind = static_cast<int>(en >> 52) & 7;

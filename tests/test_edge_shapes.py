@@ -21,6 +21,7 @@ CFG = DecodeConfig(entropy_backend=EntropyBackend.NATIVE)
     ids=str,
 )
 @pytest.mark.parametrize("sub", [0, 2], ids=["444", "420"])
+@pytest.mark.slow  # exhaustive odd-shape sweep
 def test_odd_shapes_match_oracle(shape, sub, rng):
     arr = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
     data = make_jpeg(arr, "RGB", quality=85, subsampling=sub)

@@ -89,3 +89,44 @@ def test_numpy_backend_matches_oracle(name, data):
     want = oracle.decode(data)
     got = decoder.decode(data, cfg)
     np.testing.assert_array_equal(got.rgb, want.rgb)
+
+
+def test_host_decode_stream_matches_host_decode():
+    """The pipelined host stage (prepare k+1 under native decode k) must
+    yield exactly what per-image host_decode returns, in order, including
+    the classic-path fallbacks (progressive, multi-scan)."""
+    cfg = DecodeConfig()
+    inputs = [d for _n, d in corpus.baseline_corpus()[:4]]
+    inputs += [d for _n, d, _r in corpus.dri_corpus()[:2]]
+    inputs += [d for _n, d in corpus.progressive_corpus()[:2]]
+    # Interleave so fused-path and fallback images alternate.
+    inputs = inputs[::2] + inputs[1::2]
+
+    got = list(decoder.host_decode_stream(inputs, cfg))
+    assert len(got) == len(inputs)
+    for data, (frame, planes, qts) in zip(inputs, got):
+        w_frame, w_planes, w_qts = decoder.host_decode(data, cfg)
+        assert frame == w_frame
+        assert set(qts) == set(w_qts)
+        for k in qts:
+            np.testing.assert_array_equal(qts[k], w_qts[k])
+        for ci in range(frame.ncs):
+            np.testing.assert_array_equal(
+                planes.plane(ci), w_planes.plane(ci)
+            )
+
+
+def test_host_decode_stream_pool_reuse():
+    """Streaming with a PlanePool must not cross-contaminate images."""
+    cfg = DecodeConfig()
+    pool = decoder.PlanePool()
+    datas = [d for _n, d in corpus.baseline_corpus()[:2]] * 3
+    outs = []
+    for frame, planes, qts in decoder.host_decode_stream(datas, cfg, pool):
+        # Copy out, then release — the serving pattern.
+        outs.append([planes.plane(ci).copy() for ci in range(frame.ncs)])
+        pool.release(planes)
+    for i, data in enumerate(datas):
+        _f, w_planes, _q = decoder.host_decode(data, cfg)
+        for ci, got in enumerate(outs[i]):
+            np.testing.assert_array_equal(got, w_planes.plane(ci))

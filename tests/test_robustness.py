@@ -129,6 +129,7 @@ def test_exotic_sampling_corruption_agreement():
     "backend", [EntropyBackend.DEVICE, EntropyBackend.PALLAS],
     ids=lambda b: b.value,
 )
+@pytest.mark.slow  # corruption soak across device backends
 def test_device_backends_corruption(backend):
     """The on-device backends under byte corruption: structured errors or
     best-effort output, never an unstructured crash (round-1 gap: fuzzing

@@ -74,6 +74,7 @@ def test_transcoded_corpus_covers_the_thin_axes():
     assert shapes["s422"] >= 1, shapes
 
 
+@pytest.mark.slow  # full-corpus libjpeg sweep; backends_agree keeps quick coverage
 @pytest.mark.parametrize("path", WILD, ids=_ids(WILD))
 def test_wild_file_vs_libjpeg(path):
     data = open(path, "rb").read()
