@@ -19,7 +19,7 @@ import threading
 import numpy as np
 
 from ..core.huffman import build_canonical, build_flat_lut, flat_lut_for_spec
-from ..core.driver import run_scans
+from ..core.driver import run_scans, run_scans_parallel
 from ..core.types import CoefficientPlanes, JpegStructure, Scan
 from ..io.markers import Encoding
 from ..utils.config import DecodeConfig
@@ -962,7 +962,19 @@ def entropy_decode(
     """
     if planes is None:
         planes = CoefficientPlanes(structure.frame)
-    qts = run_scans(
+    # Restart-free multi-scan streams (the progressive shape): each scan
+    # is bit-serial inside, so the parallelism axis is ACROSS independent
+    # scans (core/driver.scan_deps DAG — chroma AC chains + DC chain
+    # decode under the luma critical path). Scans WITH restart intervals
+    # already parallelize internally over segments; running those
+    # concurrently would just oversubscribe the cores.
+    parallel = (
+        len(structure.scans) >= 2
+        and cfg.num_threads != 1
+        and all(s.restart_interval == 0 for s in structure.scans)
+    )
+    runner = run_scans_parallel if parallel else run_scans
+    qts = runner(
         structure, planes,
         lambda s, scan, p: decode_scan_native(s, scan, p, cfg),
     )

@@ -41,6 +41,9 @@
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 // Pair-table window width: index = top (64 - JDT_PAIR_SHIFT) bits of the
 // bit window. Must match core/huffman.PAIR_BITS (native/build.py passes
@@ -501,6 +504,50 @@ struct ProgParams {
   int32_t ss, se, ah, al;
 };
 
+#if defined(__AVX2__) && defined(__BMI2__)
+// Nonzero-position mask of one int16 data unit (bit k set iff coef[k]!=0).
+// The AC-refinement hot walk is branch-bound without it: coef[k]!=0 is
+// data-random, so the scalar loop mispredicts ~per coefficient.
+static inline uint64_t refine_nz_mask(const int16_t* unit) {
+  uint64_t nz = 0;
+  for (int g = 0; g < 64; g += 16) {
+    __m256i v16 =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(unit + g));
+    uint32_t zm = static_cast<uint32_t>(_mm256_movemask_epi8(
+        _mm256_cmpeq_epi16(v16, _mm256_setzero_si256())));
+    uint32_t z16 = _pext_u32(zm, 0x55555555u);
+    nz |= static_cast<uint64_t>(~z16 & 0xFFFFu) << g;
+  }
+  return nz;
+}
+
+// Apply one correction bit per set bit of `mask` (position order), batching
+// the bit reads through the 64-bit window instead of one fill per bit.
+static inline void refine_apply(BitReader& br, int16_t* coef, uint64_t mask,
+                                int32_t p1, int32_t m1) {
+  int need = __builtin_popcountll(mask);
+  while (need > 0) {
+    br.fill();  // contract: >= 33 bits available
+    int take = need < 32 ? need : 32;
+    uint32_t bits = static_cast<uint32_t>(br.buf >> (64 - take));
+    br.consume(take);
+    need -= take;
+    for (int i = take - 1; i >= 0; i--) {
+      int pos = __builtin_ctzll(mask);
+      mask &= mask - 1;
+      int32_t cv = coef[pos];
+      // Branchless: the correction bit is ~coin-flip data, so a branch
+      // here mispredicts ~per coefficient. Unconditional store (the
+      // block is L1-resident).
+      int32_t apply =
+          static_cast<int32_t>((bits >> i) & 1u) & ((cv & p1) == 0);
+      int32_t delta = cv >= 0 ? p1 : m1;
+      coef[pos] = static_cast<int16_t>(cv + (apply ? delta : 0));
+    }
+  }
+}
+#endif
+
 int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
                                int64_t seg, int64_t* err_mcu) {
   BitReader br;
@@ -595,6 +642,61 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
         }
       } else {
         // AC refinement pass (G.1.2.3).
+#if defined(__AVX2__) && defined(__BMI2__)
+        // Mask-driven form, output-identical to the scalar walk below:
+        // the zero-run stop position is resolved with one pdep over the
+        // block's zero-history mask, and every correction bit between is
+        // read in <=32-bit batches (refine_apply) instead of one
+        // data-dependent branch + fill per coefficient. Coefficients
+        // inserted by THIS scan land strictly behind the walk cursor, so
+        // the history mask only needs updating at the insert position.
+        int k = pp.ss;
+        uint64_t nz = refine_nz_mask(coef);
+        const uint64_t se_mask =
+            pp.se < 63 ? (2ull << pp.se) - 1 : ~0ull;
+        if (eobrun == 0) {
+          while (k <= pp.se) {
+            int32_t s;
+            int rc = c.luts[ul.ac_lut].decode(br, &s);
+            if (rc != JDT_OK) { *err_mcu = m; return rc; }
+            int run = (s >> 4) & 0x0F;
+            int size = s & 0x0F;
+            int32_t val = 0;
+            if (size == 0) {
+              if (run != 15) {
+                eobrun = 1 << run;
+                if (run) eobrun += br.receive(run);
+                break;
+              }
+              // ZRL: skip 16 zero-history coefficients
+            } else {
+              if (size != 1) { *err_mcu = m; return JDT_ERR_COEF_RANGE; }
+              val = br.bit() ? p1 : m1;
+            }
+            uint64_t range = se_mask & ~((1ull << k) - 1);
+            uint64_t zeros = ~nz & range;
+            // Stop bit = the (run+1)-th zero-history position in range
+            // (0 when fewer zeros remain: the walk runs off se).
+            uint64_t stop = _pdep_u64(1ull << run, zeros);
+            uint64_t before = stop ? stop - 1 : ~0ull;
+            refine_apply(br, coef, nz & range & before, p1, m1);
+            if (stop == 0) {
+              k = pp.se + 1;
+            } else {
+              k = __builtin_ctzll(stop);
+              if (val != 0) {
+                coef[k] = static_cast<int16_t>(val);
+                nz |= 1ull << k;
+              }
+              k++;
+            }
+          }
+        }
+        if (eobrun > 0) {
+          refine_apply(br, coef, nz & se_mask & ~((1ull << k) - 1), p1, m1);
+          eobrun--;
+        }
+#else
         int k = pp.ss;
         if (eobrun == 0) {
           while (k <= pp.se) {
@@ -641,6 +743,7 @@ int decode_segment_progressive(const ScanContext& c, const ProgParams& pp,
           }
           eobrun--;
         }
+#endif
       }
       if (br.overran()) { *err_mcu = m; return JDT_ERR_TRUNCATED; }
     }

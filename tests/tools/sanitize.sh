@@ -59,6 +59,23 @@ status=0
     fi
 
     echo
+    echo "---- ASan + UBSan mutation fuzz (tests/tools/fuzz.py) ----"
+    if out=$(JDT_LIB="$REPO/$OUT/libjdt-asan.so" \
+             LD_PRELOAD="$ASAN_RT $UBSAN_RT" \
+             ASAN_OPTIONS="detect_leaks=0:abort_on_error=1" \
+             UBSAN_OPTIONS="halt_on_error=1:print_stacktrace=1" \
+             JAX_PLATFORMS=cpu \
+             timeout 1200 python tests/tools/fuzz.py --cases 3000 \
+                 --report tests/tools/fuzz_report_asan.json 2>&1); then
+        echo "$out" | tail -6
+        echo "FUZZ(ASAN): PASS"
+    else
+        echo "$out" | tail -30
+        echo "FUZZ(ASAN): FAILED"
+        status=1
+    fi
+
+    echo
     echo "---- TSan ----"
     g++ -O1 -g -std=c++17 -fPIC -shared -pthread \
         -fsanitize=thread \
