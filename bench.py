@@ -227,13 +227,19 @@ def run_stream():
         n += 1
     return (time.perf_counter() - t0) / n
 run(data, 2); run(data_n, 2); run(data_p, 2); run_stream()  # warm
-# The shared VM's tenancy noise is BURSTY (p25-p75 spans 2x on a bad
-# minute): take three separated passes, interleaving the workloads
-# inside each pass, and report the quietest pass's medians
-# (labeled; all-sample percentiles expose the band).
+# Two tenancy effects shape this VM's numbers (measured, r5):
+#   * bursty quota noise — minutes-scale; countered by taking the
+#     QUIETEST of several separated passes;
+#   * idle ramp-down — a 4T burst after ~1 s of idle runs ~1.45x slower
+#     than sustained back-to-back decodes (8.5 vs 12.4 ms median, same
+#     binary, same minute); countered by a short UNTIMED sustain loop
+#     before each pass so measurements never start from cold vCPUs.
 dri_passes, nodri_passes, prog_passes, stream_passes, all_dri = \
     [], [], [], [], []
-for p in range(3):
+for p in range(5):
+    t_warm = time.perf_counter()
+    while time.perf_counter() - t_warm < 0.7:
+        run(data, 1)
     a = run(data, 15)
     s = [run_stream() for _ in range(2)]
     b = run(data_n, 9)
@@ -394,7 +400,10 @@ def pack_once():
     return time.perf_counter() - t0
 pack_once(); pack_once()  # warm (arena, tables)
 passes = []
-for p in range(3):
+for p in range(5):
+    t_warm = time.perf_counter()
+    while time.perf_counter() - t_warm < 0.5:
+        pack_once()  # untimed sustain: idle vCPUs ramp ~1.45x slow
     passes.append(float(np.median([pack_once() for _ in range(9)])))
     time.sleep(0.3)
 t = float(np.median(ts))
