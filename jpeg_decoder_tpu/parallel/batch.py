@@ -57,20 +57,29 @@ class BatchDecoder:
             return 1
         return self.mesh.shape[mesh_mod.DATA_AXIS]
 
-    def _entropy_many(self, structures):
+    def _host_many(self, datas):
+        """Host stage for a batch of raw streams: (frame, planes, qts)
+        triples via the FUSED path (cached header parse + one native
+        prescan+decode call per image — decoder.host_decode), images
+        across host threads. The Pallas backend keeps the structure-based
+        route (its lane packing needs parsed scans)."""
         workers = self.cfg.num_threads or os.cpu_count() or 1
         if self.cfg.entropy_backend == EntropyBackend.PALLAS:
-            return self._entropy_many_pallas(structures, workers)
+            structures = [parse(d, self.cfg) for d in datas]
+            results = self._entropy_many_pallas(structures, workers)
+            return [
+                (s.frame, p, q)
+                for s, (p, q) in zip(structures, results)
+            ]
 
-        def one(s):
-            planes = self._pool.acquire(s)
-            return decoder_mod._entropy_decode(s, self.cfg, planes)
+        def one(d):
+            return decoder_mod.host_decode(d, self.cfg, self._pool)
 
-        with metrics.timer("entropy_batch", items=len(structures)):
-            if workers == 1 or len(structures) == 1:
-                return [one(s) for s in structures]
+        with metrics.timer("entropy_batch", items=len(datas)):
+            if workers == 1 or len(datas) == 1:
+                return [one(d) for d in datas]
             with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-                return list(pool.map(one, structures))
+                return list(pool.map(one, datas))
 
     def _entropy_many_pallas(self, structures, workers):
         """Device-resident entropy for the whole batch: every batchable
@@ -121,9 +130,7 @@ class BatchDecoder:
         """Decode a batch of SAME-GEOMETRY JPEGs -> [B, H, W, 3] uint8."""
         if not datas:
             return np.zeros((0, 0, 0, 3), dtype=np.uint8)
-        structures = [parse(d, self.cfg) for d in datas]
-        results = self._entropy_many(structures)
-        return self._device_batch(datas, structures, results)
+        return self._device_batch(self._host_many(datas))
 
     def decode_stream(self, datas, batch_size: int | None = None):
         """Pipelined streaming decode: yields [B, H, W, 3] arrays per batch.
@@ -138,52 +145,49 @@ class BatchDecoder:
         batch_size = batch_size or max(self._n_data, 1) * 2
         it = iter(datas)
 
-        def host_stage(chunk):
-            structures = [parse(d, self.cfg) for d in chunk]
-            return chunk, structures, self._entropy_many(structures)
-
         with cf.ThreadPoolExecutor(max_workers=1) as prefetcher:
             pending = None
             while True:
                 chunk = list(itertools.islice(it, batch_size))
                 nxt = (
-                    prefetcher.submit(host_stage, chunk) if chunk else None
+                    prefetcher.submit(self._host_many, chunk)
+                    if chunk else None
                 )
                 if pending is not None:
-                    chunk_c, structures, results = pending.result()
-                    yield self._device_batch(chunk_c, structures, results)
+                    yield self._device_batch(pending.result())
                 pending = nxt
                 if pending is None:
                     return
 
-    def _device_batch(self, datas, structures, results) -> np.ndarray:
-        """Device stage of decode_batch for pre-run host results."""
+    def _device_batch(self, results) -> np.ndarray:
+        """Device stage over pre-run host results: (frame, planes, qts)
+        triples, one per image."""
         keys = set()
-        for s, (planes, qts) in zip(structures, results):
+        for frame, _planes, qts in results:
             keys.add(
-                _stage_key(s.frame, qt_by_comp_bytes(s.frame, qts), self.cfg)
+                _stage_key(frame, qt_by_comp_bytes(frame, qts), self.cfg)
             )
         if len(keys) != 1:
             raise JpegFormatError(
                 "decode_stream needs identical geometry/tables across inputs"
             )
         (key,) = keys
-        frame = structures[0].frame
-        b = len(datas)
+        frame = results[0][0]
+        b = len(results)
         n_data = self._n_data
         pad = (-b) % n_data
         batches = [
             jnp.asarray(
                 np.stack(
-                    [results[i][0].plane(ci) for i in range(b)]
-                    + [results[b - 1][0].plane(ci)] * pad
+                    [results[i][1].plane(ci) for i in range(b)]
+                    + [results[b - 1][1].plane(ci)] * pad
                 )
             )
             for ci in range(frame.ncs)
         ]
         # np.stack copied the coefficients; the per-image planes can go
         # back to the pool for the next batch.
-        for planes, _qts in results:
+        for _frame, planes, _qts in results:
             self._pool.release(planes)
         stage = _batched_stage(key, self.mesh, frame.ncs)
         with metrics.timer("device_batch", items=b):
@@ -218,10 +222,11 @@ class BatchDecoder:
             order.setdefault(key, []).append(i)
         out: list = [None] * len(datas)
         for idxs in order.values():
-            group_structs = [structures[i] for i in idxs]
-            results = self._entropy_many(group_structs)
+            # Per-group host stage re-enters through the fused path (the
+            # grouping parse above hit the header caches, so the re-walk
+            # is cheap) and one batched device dispatch per group.
             rgbs = self._device_batch(
-                [datas[i] for i in idxs], group_structs, results
+                self._host_many([datas[i] for i in idxs])
             )
             for j, i in enumerate(idxs):
                 out[i] = rgbs[j]
