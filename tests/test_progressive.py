@@ -92,3 +92,54 @@ def test_progressive_with_restarts(rng):
     np.testing.assert_array_equal(
         decoder.decode(data, CFG).rgb, decoder.decode(plain, CFG).rgb
     )
+
+
+def test_scan_deps_dag():
+    """The out-of-order scan scheduler's dependency rule: scans are
+    ordered iff they share a component AND their spectral bands overlap
+    (core/driver.scan_deps) — the Pillow-style 10-scan script must yield
+    independent chroma/DC chains under the luma critical path."""
+    import types
+
+    from jpeg_decoder_tpu.core.driver import scan_deps
+    from jpeg_decoder_tpu.core.types import ScanComponent, ScanHeader
+
+    def scan(comps, ss, se):
+        h = ScanHeader(
+            components=tuple(ScanComponent(sc=c, dc=0, ac=0) for c in comps),
+            ss=ss, se=se, ah=0, al=0,
+        )
+        return types.SimpleNamespace(header=h)
+
+    # The scan script of the bench's progressive input (Pillow q85 420).
+    scans = [
+        scan((1, 2, 3), 0, 0),   # 0 DC first
+        scan((1,), 1, 5),        # 1 luma AC band 1-5
+        scan((3,), 1, 63),       # 2 cr AC
+        scan((2,), 1, 63),       # 3 cb AC
+        scan((1,), 6, 63),       # 4 luma AC band 6-63
+        scan((1,), 1, 63),       # 5 luma refine
+        scan((1, 2, 3), 0, 0),   # 6 DC refine
+        scan((3,), 1, 63),       # 7 cr refine
+        scan((2,), 1, 63),       # 8 cb refine
+        scan((1,), 1, 63),       # 9 luma refine
+    ]
+    deps = scan_deps(scans)
+    assert deps == [
+        [],        # DC first
+        [],        # luma 1-5: disjoint band from DC
+        [],        # cr independent
+        [],        # cb independent
+        [],        # luma 6-63: disjoint from luma 1-5
+        [1, 4],    # luma refine needs both first passes
+        [0],       # DC refine after DC first only
+        [2],       # cr refine after cr first
+        [3],       # cb refine after cb first
+        [1, 4, 5],  # final luma refine: all earlier luma AC scans
+    ]           # (scan_deps lists every overlapping predecessor, not
+                # the transitive reduction — ordering is what matters)
+
+    # Sequential multi-scan (full-band per component): strict per-
+    # component chains, DC scan ordered against everything it shares.
+    seq = [scan((1, 2, 3), 0, 63), scan((1,), 0, 63), scan((1,), 0, 63)]
+    assert scan_deps(seq) == [[], [0], [0, 1]]

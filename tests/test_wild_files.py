@@ -136,6 +136,7 @@ def test_wild_file_oracle_agrees(path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # full-corpus device sweep; backends_agree keeps quick coverage
 @pytest.mark.parametrize("path", WILD, ids=_ids(WILD))
 def test_wild_file_host_fallback_matches_device(path):
     data = open(path, "rb").read()
