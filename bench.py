@@ -120,6 +120,30 @@ def make_input_progressive() -> bytes:
     return data
 
 
+def make_progressive_stream_inputs(n: int = 8) -> list[bytes]:
+    """n DISTINCT progressive 4K q85 images — the progressive SERVING
+    workload (cross-image concurrency via host_decode_batch; each image's
+    scans are bit-serial chains, so one image cannot fill the cores)."""
+    import io
+
+    from PIL import Image
+
+    CACHE.mkdir(exist_ok=True)
+    out = []
+    for i in range(n):
+        f = CACHE / f"prog_stream_{i}.jpg"
+        if not f.exists():
+            rng = np.random.default_rng(777 + i)
+            arr = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr, "RGB").save(
+                buf, "JPEG", quality=85, subsampling=2, progressive=True
+            )
+            f.write_bytes(buf.getvalue())
+        out.append(f.read_bytes())
+    return out
+
+
 def make_stream_inputs(n: int = 12) -> list[bytes]:
     """n DISTINCT 4K q85 DRI noise images with byte-identical headers —
     the serving-stream shape (same encoder settings image after image, so
@@ -198,14 +222,21 @@ def _host_stage_subprocess() -> dict | None:
 import json
 import time
 import numpy as np
-from bench import make_input, make_input_nodri, make_input_progressive, make_stream_inputs
+from bench import (make_input, make_input_nodri, make_input_progressive,
+                   make_progressive_stream_inputs, make_stream_inputs)
 from jpeg_decoder_tpu.models import decoder as decoder_mod
 from jpeg_decoder_tpu.utils.config import DecodeConfig, IdctPrecision
 data = make_input()
 data_n = make_input_nodri()
 data_p = make_input_progressive()
 streams = make_stream_inputs(12)
+prog_streams = make_progressive_stream_inputs(8)
 cfg = DecodeConfig(idct_precision=IdctPrecision.EXACT)
+# Progressive serving: scans inside one image are bit-serial chains, so
+# cross-image concurrency (host_decode_batch) is the throughput axis;
+# num_threads=1 turns off the per-image scan-DAG (its scheduling overhead
+# buys nothing once images, not scans, fill the cores).
+cfg_p1 = DecodeConfig(idct_precision=IdctPrecision.EXACT, num_threads=1)
 pool = decoder_mod.PlanePool()
 def run(d, reps):
     ts = []
@@ -226,7 +257,18 @@ def run_stream():
         pool.release(planes)
         n += 1
     return (time.perf_counter() - t0) / n
+def run_prog_stream():
+    # Progressive serving: 8 DISTINCT progressive images decoded 4-wide
+    # via host_decode_batch (bit-identical to per-image host_decode).
+    t0 = time.perf_counter()
+    n = 0
+    for frame, planes, qts in decoder_mod.host_decode_batch(
+            prog_streams, cfg_p1, pool, max_workers=4):
+        pool.release(planes)
+        n += 1
+    return (time.perf_counter() - t0) / n
 run(data, 2); run(data_n, 2); run(data_p, 2); run_stream()  # warm
+run_prog_stream()  # warm
 # Two tenancy effects shape this VM's numbers (measured, r5):
 #   * bursty quota noise — minutes-scale; countered by taking the
 #     QUIETEST of several separated passes;
@@ -236,6 +278,7 @@ run(data, 2); run(data_n, 2); run(data_p, 2); run_stream()  # warm
 #     before each pass so measurements never start from cold vCPUs.
 dri_passes, nodri_passes, prog_passes, stream_passes, all_dri = \
     [], [], [], [], []
+prog_stream_passes = []
 for p in range(5):
     t_warm = time.perf_counter()
     while time.perf_counter() - t_warm < 0.7:
@@ -244,10 +287,12 @@ for p in range(5):
     s = [run_stream() for _ in range(2)]
     b = run(data_n, 9)
     c = run(data_p, 5)
+    ps = [run_prog_stream() for _ in range(2)]
     dri_passes.append(float(np.median(a)))
     nodri_passes.append(float(np.median(b)))
     prog_passes.append(float(np.median(c)))
     stream_passes.append(float(np.median(s)))
+    prog_stream_passes.append(float(np.median(ps)))
     all_dri += a
     time.sleep(0.5)
 q = int(np.argmin(dri_passes))
@@ -257,6 +302,7 @@ print(json.dumps({
     "host_p75_ms": round(float(np.percentile(all_dri, 75)) * 1e3, 2),
     "nodri_host_ms": round(nodri_passes[q] * 1e3, 2),
     "progressive_host_ms": round(prog_passes[q] * 1e3, 2),
+    "progressive_stream_ms": round(prog_stream_passes[q] * 1e3, 2),
     "host_stream_ms": round(stream_passes[q] * 1e3, 2),
 }))
 """
@@ -729,7 +775,8 @@ def main() -> None:
             + f"); stream {host.get('host_stream_ms')} ms/img; "
             f"no-DRI {host['nodri_host_ms']} ms "
             f"({host['nodri_host_ms']/host['host_ms']:.2f}x DRI); "
-            f"progressive {host.get('progressive_host_ms')} ms")
+            f"progressive {host.get('progressive_host_ms')} ms "
+            f"(serving {host.get('progressive_stream_ms')} ms/img 4-wide)")
     ref_mps = _ref_same_host_mps()
     if ref_mps:
         log(f"reference C decoder, same host/session: {ref_mps:.1f} MP/s")

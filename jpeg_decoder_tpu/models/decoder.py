@@ -515,6 +515,66 @@ def host_decode_stream(
             yield _finish(*pending)
 
 
+def host_decode_batch(
+    datas,
+    cfg: DecodeConfig | None = None,
+    pool: "PlanePool | None" = None,
+    max_workers: int = 0,
+):
+    """Concurrent host stage ACROSS images: yields (frame, planes, qts) per
+    input, in input order, with up to `max_workers` images decoding at once.
+
+    host_decode_stream pipelines the serial Python under the native decode —
+    the right shape when each image's native stage already saturates the
+    host's cores (sequential DRI streams, segment-parallel). When one image
+    CANNOT fill the cores — progressive and restart-free scans are bit-serial
+    chains, so a 4K progressive decode keeps only its scan-DAG's few
+    independent chains busy (core/driver.run_scans_parallel) — the remaining
+    throughput axis is across images: several images' serial chains run
+    concurrently and fill the idle cores. Results are bit-identical to
+    per-image host_decode (same code path; PlanePool is thread-safe;
+    differential test tests/test_pipeline.py::test_host_decode_batch).
+
+    The failure contract matches stream order: the first-in-order failing
+    image's error is raised from its yield position; decodes already in
+    flight for later images are completed and discarded.
+    """
+    import collections
+    import concurrent.futures as cf
+    import os
+
+    from ..io import bitstream as bs
+
+    cfg = cfg or DecodeConfig()
+    if max_workers <= 0:
+        max_workers = os.cpu_count() or 1
+
+    it = iter(datas)
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        window: collections.deque = collections.deque()
+
+        def _submit_next() -> bool:
+            try:
+                d = next(it)
+            except StopIteration:
+                return False
+            window.append(
+                ex.submit(host_decode, bs.as_byte_array(d), cfg, pool)
+            )
+            return True
+
+        # Keep one extra image queued beyond the worker count so a finishing
+        # worker never idles waiting on the consumer.
+        for _ in range(max_workers + 1):
+            if not _submit_next():
+                break
+        while window:
+            fut = window.popleft()
+            res = fut.result()  # raises the first-in-order failure
+            _submit_next()
+            yield res
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------

@@ -130,3 +130,50 @@ def test_host_decode_stream_pool_reuse():
         _f, w_planes, _q = decoder.host_decode(data, cfg)
         for ci, got in enumerate(outs[i]):
             np.testing.assert_array_equal(got, w_planes.plane(ci))
+
+
+def test_host_decode_batch():
+    """Cross-image concurrent host stage == per-image host_decode, in input
+    order, over a mix of fused-path (sequential DRI), speculative (no-DRI),
+    and classic-fallback (progressive) images, with a shared PlanePool."""
+    cfg = DecodeConfig()
+    pool = decoder.PlanePool()
+    inputs = [d for _n, d in corpus.baseline_corpus()[:4]]
+    inputs += [d for _n, d, _r in corpus.dri_corpus()[:2]]
+    inputs += [d for _n, d in corpus.progressive_corpus()[:2]]
+    inputs = inputs[::2] + inputs[1::2]
+
+    outs = []
+    for frame, planes, qts in decoder.host_decode_batch(
+        inputs, cfg, pool, max_workers=3
+    ):
+        outs.append(
+            (frame, [planes.plane(ci).copy() for ci in range(frame.ncs)],
+             {k: v.copy() for k, v in qts.items()})
+        )
+        pool.release(planes)
+    assert len(outs) == len(inputs)
+    for data, (frame, plane_copies, qts) in zip(inputs, outs):
+        w_frame, w_planes, w_qts = decoder.host_decode(data, cfg)
+        assert frame == w_frame
+        assert set(qts) == set(w_qts)
+        for k in qts:
+            np.testing.assert_array_equal(qts[k], w_qts[k])
+        for ci, got in enumerate(plane_copies):
+            np.testing.assert_array_equal(got, w_planes.plane(ci))
+
+
+def test_host_decode_batch_error_order():
+    """The FIRST-in-order failing image's error surfaces at its yield
+    position; earlier images still come out intact."""
+    from jpeg_decoder_tpu.utils.errors import JpegError
+
+    cfg = DecodeConfig()
+    good = [d for _n, d in corpus.baseline_corpus()[:2]]
+    bad = b"\xff\xd8\xff\xdb\x00\x04\x00\x00"  # truncated DQT, no SOS
+    gen = decoder.host_decode_batch(good + [bad] + good, cfg, max_workers=4)
+    frame0, _p0, _q0 = next(gen)
+    frame1, _p1, _q1 = next(gen)
+    assert frame0.width and frame1.width
+    with pytest.raises(JpegError):
+        next(gen)
