@@ -37,7 +37,7 @@ from .core.types import CoefficientPlanes, DecodedImage, FrameHeader, JpegStruct
 from .io.parser import parse  # noqa: F401
 from .core.oracle import decode as decode_oracle  # noqa: F401
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 
 def decode(data, cfg=None):
@@ -61,3 +61,13 @@ def encode(rgb, cfg=None):
     from .models.encoder import JpegEncoder
 
     return JpegEncoder(cfg).encode(rgb)
+
+
+def host_decode_batch(datas, cfg=None, pool=None, max_workers=0):
+    """Concurrent host stage (parse + entropy -> coefficient planes) across
+    images — the serving form for streams whose per-image parallelism is
+    limited (progressive scans are bit-serial chains). Yields
+    (frame, planes, qts) in input order. See models/decoder.py."""
+    from .models.decoder import host_decode_batch as _b
+
+    return _b(datas, cfg, pool, max_workers)

@@ -109,6 +109,46 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_decode_batch(args) -> int:
+    """Decode MANY JPEGs with cross-image host concurrency.
+
+    The host entropy stages of up to --jobs images run at once
+    (models/decoder.host_decode_batch); the pixel stage finishes each
+    image as its planes arrive, in input order. This is the serving shape
+    for progressive streams, whose bit-serial scan chains cannot fill the
+    cores one image at a time (docs/PERF.md round 5)."""
+    cfg = _decode_cfg(args)
+    from .models.decoder import PlanePool, _pixel_stage, host_decode_batch
+
+    paths = [Path(p) for p in args.inputs]
+    out_dir = Path(args.out_dir) if args.out_dir else None
+    if out_dir is not None:
+        out_dir.mkdir(parents=True, exist_ok=True)
+    pool = PlanePool()
+    datas = (np.memmap(p, dtype=np.uint8, mode="r") for p in paths)
+    t0 = time.perf_counter()
+    total_mp = 0.0
+    for path, (frame, planes, qts) in zip(
+        paths, host_decode_batch(datas, cfg, pool, max_workers=args.jobs)
+    ):
+        img = _pixel_stage(frame, planes, qts, cfg)
+        pool.release(planes)
+        total_mp += frame.width * frame.height / 1e6
+        if out_dir is not None:
+            _write_image(out_dir / f"{path.stem}.{args.format}", img.rgb)
+    dt = time.perf_counter() - t0
+    print(
+        f"{len(paths)} images, {total_mp:.2f} MP in {dt*1e3:.1f} ms"
+        f" = {total_mp/dt:.1f} MP/s aggregate",
+        file=sys.stderr,
+    )
+    if args.metrics:
+        from .utils.metrics import GLOBAL_METRICS
+
+        print(json.dumps(GLOBAL_METRICS.summary(), indent=2), file=sys.stderr)
+    return 0
+
+
 def cmd_encode(args) -> int:
     from .models.encoder import encode
 
@@ -200,6 +240,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "mesh in one program")
     add_decode_opts(d)
     d.set_defaults(fn=cmd_decode)
+
+    db = sub.add_parser(
+        "decode-batch",
+        help="decode many JPEGs with cross-image host concurrency",
+    )
+    db.add_argument("inputs", nargs="+")
+    db.add_argument("--out-dir", default=None,
+                    help="write one image per input here (default: timing only)")
+    db.add_argument("--format", default="png", choices=["png", "ppm", "npy"])
+    db.add_argument("--jobs", type=int, default=0,
+                    help="images decoding concurrently (default: all cores)")
+    add_decode_opts(db)
+    db.set_defaults(fn=cmd_decode_batch)
 
     e = sub.add_parser("encode", help="PNG/NPY -> JPEG")
     e.add_argument("input")

@@ -193,3 +193,32 @@ def test_info_reports_progressive(tmp_path, capsys):
     assert cli.main(["info", str(p), "--json"]) == 0
     js = json.loads(capsys.readouterr().out)
     assert "PROGRESSIVE" in js["process"]
+
+
+def test_decode_batch_cli(tmp_path):
+    """decode-batch writes one output per input (mixed sequential +
+    progressive), each matching the single-file decode route."""
+    from jpeg_decoder_tpu.models.decoder import decode
+    from jpeg_decoder_tpu.utils.config import DecodeConfig
+
+    srcs = []
+    for i, (name, data) in enumerate(corpus.baseline_corpus()[:2]):
+        p = tmp_path / f"seq{i}.jpg"
+        p.write_bytes(data)
+        srcs.append(p)
+    name, data = corpus.progressive_corpus()[0]
+    p = tmp_path / "prog0.jpg"
+    p.write_bytes(data)
+    srcs.append(p)
+
+    out_dir = tmp_path / "out"
+    rc = cli.main(
+        ["decode-batch", *map(str, srcs), "--out-dir", str(out_dir),
+         "--format", "npy", "--no-device", "--jobs", "2"]
+    )
+    assert rc == 0
+    cfg = DecodeConfig(use_device=False)
+    for p in srcs:
+        got = np.load(out_dir / f"{p.stem}.npy")
+        want = decode(p.read_bytes(), cfg).rgb
+        np.testing.assert_array_equal(got, want)
