@@ -42,7 +42,12 @@ struct EncTable {
 // the byte loop. Callers guarantee capacity via ensure() once per data
 // unit. Bit order and stuffing are IDENTICAL to the push_back form
 // (differential-tested byte-for-byte against core/entropy_encode).
-struct BitPacker {
+// alignas(64): these live in per-segment arrays (encode_segments' arena)
+// with the hot cursor fields (w/acc/nbits) stored on EVERY put(); without
+// the alignment two adjacent segments — typically owned by DIFFERENT
+// threads under the dynamic grab — share a cache line and ping-pong it
+// per symbol.
+struct alignas(64) BitPacker {
   std::vector<uint8_t> out;
   size_t w = 0;  // write cursor; out.size() is capacity
   uint64_t acc = 0;
