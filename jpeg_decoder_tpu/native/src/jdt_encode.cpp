@@ -104,6 +104,60 @@ struct alignas(64) BitPacker {
   }
 };
 
+// Register-resident pack cursor. BitPacker::put stores bytes through
+// out.data() — a char* that ALIASES EVERYTHING, so the compiler must
+// reload and re-store bp.acc/nbits/w around every byte store: the
+// accumulator dependency chain becomes a load+op+store round trip per
+// symbol instead of a register op. This cursor copies the four hot
+// fields into locals whose address never escapes (after inlining they
+// are SSA values the char stores provably cannot alias), and flushes
+// back at DU/segment boundaries. Bit semantics are IDENTICAL to
+// BitPacker::put/drain (differential-tested byte-for-byte).
+struct PackCursor {
+  uint64_t acc;
+  int nbits;
+  size_t w;
+  uint8_t* b;
+
+  inline void load(BitPacker& bp) {
+    acc = bp.acc;
+    nbits = bp.nbits;
+    w = bp.w;
+    b = bp.out.data();
+  }
+  inline void flush(BitPacker& bp) {
+    bp.acc = acc;
+    bp.nbits = nbits;
+    bp.w = w;
+  }
+  // Sync w, grow if needed, re-acquire the (possibly moved) base pointer.
+  inline void ensure(BitPacker& bp, size_t need) {
+    bp.w = w;
+    bp.ensure(need);
+    b = bp.out.data();
+  }
+
+  inline void put(uint32_t value, int n) {  // mirror of BitPacker::put
+    acc = (acc << n) | (value & ((1ull << n) - 1));
+    nbits += n;
+    if (nbits < 32) return;
+    nbits -= 32;
+    uint32_t chunk = static_cast<uint32_t>(acc >> nbits);
+    acc &= (1ull << nbits) - 1;
+    if ((((chunk & 0x7F7F7F7Fu) + 0x01010101u) & chunk & 0x80808080u) == 0) {
+      uint32_t be = __builtin_bswap32(chunk);
+      std::memcpy(b + w, &be, 4);
+      w += 4;
+      return;
+    }
+    for (int i = 24; i >= 0; i -= 8) {
+      uint8_t v = static_cast<uint8_t>(chunk >> i);
+      b[w++] = v;
+      if (v == 0xFF) b[w++] = 0x00;
+    }
+  }
+};
+
 inline int csize_fast(int32_t v) {  // bit category (Table F.1)
   // 0u - cast avoids signed-overflow UB for INT32_MIN.
   uint32_t a = v < 0 ? 0u - static_cast<uint32_t>(v)
@@ -200,15 +254,15 @@ inline void csize_ext_block_i16(const int16_t* unit, uint8_t* s_out,
 // Pack ONE data unit. Shared by the contiguous int32 entry and the
 // plane-direct int16 entry; each (code, EXTEND) pair is emitted as ONE
 // put of <= 31 bits. Returns 0 or 1 on absent symbol / range error.
+// Worst case one DU emits 64 * (16+15) bits = 248 B, *2 if every byte
+// stuffs, + the 8-byte fast-path store margin. Callers guarantee this
+// per DU via PackCursor::ensure.
+constexpr size_t kDuCap = 2 * 248 + 16;
+
 template <typename Coef>
 inline int pack_du(const Coef* unit, const EncTable& dct,
                    const EncTable& act, int32_t sci, int32_t preds[4],
-                   BitPacker& bp) {
-  // Worst case one DU emits 64 * (16+15) bits = 248 B, *2 if every byte
-  // stuffs, + the 8-byte fast-path store margin.
-  constexpr size_t kDuCap = 2 * 248 + 16;
-  bp.ensure(kDuCap);
-
+                   PackCursor& bp) {
   int32_t dc = unit[0];
   int32_t diff = dc - preds[sci];
   preds[sci] = dc;
@@ -307,14 +361,18 @@ inline int pack_du(const Coef* unit, const EncTable& dct,
 int pack_range(const EncodeArgs& a, int64_t mcu_lo, int64_t mcu_hi,
                BitPacker& bp) {
   int32_t preds[4] = {0, 0, 0, 0};
+  PackCursor pc;
+  pc.load(bp);
   for (int64_t m = mcu_lo; m < mcu_hi; m++) {
     const int32_t* unit = a.blocks + m * a.units_per_mcu * 64;
     for (int32_t u = 0; u < a.units_per_mcu; u++, unit += 64) {
+      pc.ensure(bp, kDuCap);
       if (pack_du(unit, a.tables_dc[a.unit_dc[u]], a.tables_ac[a.unit_ac[u]],
-                  a.unit_sci[u], preds, bp))
+                  a.unit_sci[u], preds, pc))
         return 1;
     }
   }
+  pc.flush(bp);
   return 0;
 }
 
@@ -357,11 +415,16 @@ int pack_range_planes(const PlaneUnit* pus, int32_t upm,
                       const EncTable* tdc, const EncTable* tac,
                       int32_t mcus_x, int64_t mcu_lo, int64_t mcu_hi,
                       BitPacker& bp) {
-  return walk_planes(
+  PackCursor pc;
+  pc.load(bp);
+  int rc = walk_planes(
       pus, upm, mcus_x, mcu_lo, mcu_hi,
       [&](const int16_t* unit, const PlaneUnit& pu, int32_t preds[4]) {
-        return pack_du(unit, tdc[pu.dc], tac[pu.ac], pu.sci, preds, bp);
+        pc.ensure(bp, kDuCap);
+        return pack_du(unit, tdc[pu.dc], tac[pu.ac], pu.sci, preds, pc);
       });
+  if (rc == 0) pc.flush(bp);
+  return rc;
 }
 
 // Count one data unit's symbols (the frequency pass of two-pass optimized
