@@ -177,3 +177,8 @@ def test_host_decode_batch_error_order():
     assert frame0.width and frame1.width
     with pytest.raises(JpegError):
         next(gen)
+
+
+def test_host_decode_batch_empty():
+    """An empty input stream yields nothing and raises nothing."""
+    assert list(decoder.host_decode_batch([], DecodeConfig())) == []
