@@ -44,6 +44,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _stat_times() -> tuple[int, int] | None:
+    """(total, steal) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if before and after and after[0] > before[0]:
+        return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 1)
+    return None
+
+
 def make_input() -> bytes:
     CACHE.mkdir(exist_ok=True)
     f = CACHE / "noise_4k_420_q85_dri.jpg"
@@ -209,15 +226,6 @@ def _host_stage_subprocess() -> dict | None:
     """
     import subprocess
 
-    def _cpu_times() -> tuple[int, int] | None:
-        try:
-            with open("/proc/stat") as f:
-                parts = f.readline().split()
-            vals = [int(v) for v in parts[1:]]
-            return sum(vals), vals[7] if len(vals) > 7 else 0
-        except Exception:
-            return None
-
     script = r"""
 import json
 import time
@@ -307,20 +315,19 @@ print(json.dumps({
 }))
 """
     try:
-        t_before = _cpu_times()
+        t_before = _stat_times()
         r = subprocess.run(
             [sys.executable, "-c", script],
             timeout=600, capture_output=True, text=True,
             env=dict(os.environ, JAX_PLATFORMS="cpu"),
             cwd=Path(__file__).resolve().parent,
         )
-        t_after = _cpu_times()
+        t_after = _stat_times()
         if r.returncode == 0:
             out = json.loads(r.stdout.strip().splitlines()[-1])
-            if t_before and t_after and t_after[0] > t_before[0]:
-                steal = 100.0 * (t_after[1] - t_before[1]) / (
-                    t_after[0] - t_before[0])
-                out["host_steal_pct"] = round(steal, 1)
+            steal = _steal_pct(t_before, t_after)
+            if steal is not None:
+                out["host_steal_pct"] = steal
             return out
         log(f"host-stage bench failed (rc={r.returncode}): {r.stderr[-500:]}")
     except Exception as e:
@@ -755,18 +762,53 @@ def _device_stage_measurement(data: bytes) -> dict | None:
 
 
 def main() -> None:
+    t_start = time.monotonic()
     data = make_input()
     make_input_nodri()
     px = W * H
     device_up = _probe_device()
+    if not device_up:
+        # The tunnel fails transiently (observed: a 120 s probe timeout
+        # followed by a sub-second success minutes later) — one retry
+        # before declaring the device stage unmeasurable.
+        log("TPU probe failed — retrying once in 20 s")
+        time.sleep(20)
+        device_up = _probe_device()
     if not device_up:
         log("TPU tunnel unreachable — device stage not measurable today")
 
     # ---- All host-CPU measurements FIRST, each in a clean subprocess ----
     # (the axon client busy-polls a core from init onward; see
     # _host_stage_subprocess). Device measurement runs last.
-    host = _host_stage_subprocess()
+    #
+    # Window retry: this shared VM's tenancy is bursty (steal 0-30%,
+    # minutes-scale). A single noisy window degrades host_ms ~2x with the
+    # cross-checks intact (the same-window reference degrades by the same
+    # factor), so one unlucky end-of-round run misreports the framework by
+    # tenancy luck. If the measured window shows steal > 0.5%, wait and
+    # re-measure (host stage + same-window reference TOGETHER, keeping the
+    # ratio honest) up to twice, bounded by a 10-minute soft deadline; the
+    # quietest attempt (min host_ms) is reported, with the attempt count
+    # in the artifact.
+    host, ref_mps, any_ref, attempts = None, None, None, 0
+    while True:
+        attempts += 1
+        h = _host_stage_subprocess()
+        r = _ref_same_host_mps()
+        any_ref = any_ref or r
+        if h and (host is None or h["host_ms"] < host["host_ms"]):
+            host, ref_mps = h, r
+        steal = (h or {}).get("host_steal_pct", 0.0)
+        if h and steal <= 0.5:
+            break
+        if attempts >= 3 or time.monotonic() - t_start > 600:
+            break
+        log(f"noisy host window (steal {steal}%) — retrying in 45 s "
+            f"(attempt {attempts})")
+        time.sleep(45)
+    ref_mps = ref_mps or any_ref
     if host:
+        host["host_window_attempts"] = attempts
         log(f"host stage: {host['host_ms']} ms = "
             f"{px/host['host_ms']/1e3:.1f} MP/s "
             f"(p25={host['host_p25_ms']} p75={host['host_p75_ms']}"
@@ -777,10 +819,25 @@ def main() -> None:
             f"({host['nodri_host_ms']/host['host_ms']:.2f}x DRI); "
             f"progressive {host.get('progressive_host_ms')} ms "
             f"(serving {host.get('progressive_stream_ms')} ms/img 4-wide)")
-    ref_mps = _ref_same_host_mps()
     if ref_mps:
         log(f"reference C decoder, same host/session: {ref_mps:.1f} MP/s")
-    enc = _bench_encode_subprocess()
+    # Encode window: same bursty-tenancy retry as the host stage (the pack
+    # stage is the encode pipeline's bottleneck stage and equally
+    # steal-sensitive) — one retry, steal-gated, deadline-bounded.
+    enc = None
+    for enc_attempt in (1, 2):
+        e_before = _stat_times()
+        e = _bench_encode_subprocess()
+        e_steal = _steal_pct(e_before, _stat_times())
+        if e is not None and e_steal is not None:
+            e["encode_steal_pct"] = e_steal
+        if e and (enc is None or e["encode_pack_ms"] < enc["encode_pack_ms"]):
+            enc = e
+        if (e and (e_steal or 0.0) <= 0.5) or enc_attempt == 2 \
+                or time.monotonic() - t_start > 720:
+            break
+        log(f"noisy encode window (steal {e_steal}%) — one retry in 45 s")
+        time.sleep(45)
     if enc:
         log(f"encode: one-shot CPU {enc['encode_cpu_ms']} ms = "
             f"{enc['encode_cpu_mps']} MP/s; host pack stage "
