@@ -51,6 +51,9 @@ def _read_image(path: Path) -> np.ndarray:
     return np.asarray(im.convert("RGB"))
 
 
+_SCALE_FLAGS = {"1/8": 1, "1/4": 2, "1/2": 4, "1": 8}
+
+
 def _decode_cfg(args) -> DecodeConfig:
     return DecodeConfig(
         entropy_backend=EntropyBackend(args.backend),
@@ -58,6 +61,7 @@ def _decode_cfg(args) -> DecodeConfig:
         quirks=Quirks(args.quirks),
         use_device=not args.no_device,
         upsample=args.upsample,
+        scale=_SCALE_FLAGS[getattr(args, "scale", "1")],
         num_threads=args.threads,
         collect_metrics=getattr(args, "metrics", False),
     )
@@ -71,6 +75,10 @@ def cmd_decode(args) -> int:
         # Gigapixel routes (parallel/stripes): --streamed bounds peak RSS
         # to one chunk's intermediates; --striped shards MCU-row stripes
         # over the mesh in one program. Both consume the file memmapped.
+        if cfg.scale != 8:
+            print("--scale is not supported with --streamed/--striped",
+                  file=sys.stderr)
+            return 2
         from .parallel import stripes as stripes_mod
 
         mm = np.memmap(args.input, dtype=np.uint8, mode="r")
@@ -88,7 +96,7 @@ def cmd_decode(args) -> int:
         # bounded by planes + output rather than 2x file size.
         img = decode_file(Path(args.input), cfg)
         rgb = img.rgb
-        h, w = img.height, img.width
+        h, w = rgb.shape[:2]  # == frame dims except under --scale
     dt = time.perf_counter() - t0
     if args.out:
         _write_image(Path(args.out), rgb)
@@ -219,6 +227,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--quirks", default="reference",
                         choices=[q.value for q in Quirks])
         sp.add_argument("--upsample", default="nn", choices=["nn", "fancy"])
+        sp.add_argument("--scale", default="1",
+                        choices=["1/8", "1/4", "1/2", "1"],
+                        help="fractional scaled decode: output is "
+                             "ceil(dim * scale); 1/8 decodes thumbnails "
+                             "straight from the DC band")
         sp.add_argument("--no-device", action="store_true",
                         help="run the whole pipeline on host")
         sp.add_argument("--threads", type=int, default=0)

@@ -316,6 +316,10 @@ class DecodedImage:
     `Image` decode.h:12-17); `rgb` is the packed interleaved output after
     color conversion (the reference computes it into an SDL surface,
     jpeg_decoder.c:62-101).
+
+    width/height are the FRAME dimensions. Under scaled decode
+    (DecodeConfig.scale < 8) the output is smaller: rgb.shape carries the
+    actual ceil(dim * scale / 8) output size.
     """
 
     frame: FrameHeader

@@ -64,6 +64,7 @@ def _stage_key(frame: FrameHeader, qt_by_comp: tuple[bytes, ...], cfg: DecodeCon
         cfg.idct_precision,
         cfg.quirks,
         cfg.upsample,
+        cfg.scale,
     )
 
 
@@ -76,10 +77,18 @@ def build_stage_raw(key):
     Takes the hashable key from _stage_key; returns a function
     stage(*coeff_planes) -> (rgb uint8 [H, W, 3], pixel planes).
     """
-    frame, qt_by_comp, precision, quirks, upsample = key
+    frame, qt_by_comp, precision, quirks, upsample, scale = key
     comps = frame.components
     bits12 = frame.precision == 12
     h, w = frame.height, frame.width
+    if scale != 8:
+        # Fractional scaled decode: a k-point truncated IDCT yields k x k
+        # pixels per block (ops/idct.idct_matrix_zz_scaled), so every plane
+        # and the output shrink to ceil(dim * k / 8). Not a parity surface
+        # (the reference has no scaled decode): the pixel-domain quirks that
+        # only exist to replicate its full-resolution stores don't apply.
+        h = -(-h * scale // 8)
+        w = -(-w * scale // 8)
     exact = precision == IdctPrecision.EXACT
     qtables = [np.frombuffer(q, dtype=np.uint16).copy() for q in qt_by_comp]
     upsampler = (
@@ -90,8 +99,17 @@ def build_stage_raw(key):
         out = []
         for ci, c in enumerate(comps):
             blocks = coeff_planes[ci].reshape(-1, 64)
-            pix = idct_ops.idct_blocks(blocks, qtables[ci], precision, bits12)
-            out.append(idct_ops.blocks_to_plane(pix, c.blocks_y, c.blocks_x))
+            if scale == 8:
+                pix = idct_ops.idct_blocks(
+                    blocks, qtables[ci], precision, bits12
+                )
+            else:
+                pix = idct_ops.idct_matmul_scaled(
+                    blocks, qtables[ci], scale, bits12
+                )
+            out.append(
+                idct_ops.blocks_to_plane(pix, c.blocks_y, c.blocks_x, scale)
+            )
         return out
 
     def upsampled(planes):
@@ -106,7 +124,7 @@ def build_stage_raw(key):
 
         def stage(*coeff_planes):
             (plane,) = pixel_planes(coeff_planes)
-            if quirks == Quirks.REFERENCE:
+            if quirks == Quirks.REFERENCE and scale == 8:
                 # y_rgb indexes the padded plane at IMAGE-width stride
                 # (colour_conversion.c:20) — shears non-multiple-of-8 widths.
                 idx = (
@@ -628,6 +646,14 @@ def _pixel_stage(
     cfg: DecodeConfig,
 ) -> DecodedImage:
     """Coefficient planes -> DecodedImage (device or host pixel path)."""
+    if not cfg.use_device and cfg.scale != 8:
+        from ..utils.errors import JpegConfigError
+
+        raise JpegConfigError(
+            "scaled decode (scale != 8) runs on the device pixel path; "
+            "set use_device=True (under JAX_PLATFORMS=cpu it executes on "
+            "the host via XLA)"
+        )
     if not cfg.use_device:
         with metrics.timer("pixel_host"):
             pixel_planes = oracle.pixels_from_coeffs(frame, planes, qts)

@@ -217,6 +217,61 @@ def idct_matmul(coeffs_zz, qtable_natural, bits12: bool = False):
     return _quantize_output(pix, bits12)
 
 
+@functools.lru_cache(maxsize=None)
+def idct_matrix_zz_scaled(k: int) -> np.ndarray:
+    """[64, k*k] float32 K_k with: pixels_kxk = coeffs_zz_dequantized @ K_k.
+
+    Fractional scaled decode (k in {1, 2, 4}): each 8x8 coefficient block
+    yields a k x k pixel tile directly, so a 1/8-scale decode never computes
+    the 64 full-resolution pixels it would throw away. The transform is the
+    truncated k-point inverse DCT of the k lowest frequencies per axis,
+
+        g = (k/8) * B_k F[:k, :k] B_k^T,
+        B_k[x, u] = sqrt(2/k) * c_u * cos((2x+1) u pi / (2k)),  c_0 = 1/sqrt(2)
+
+    normalized so a DC-only block maps to the same constant the full IDCT
+    produces (g = F00/8): the k x k tile is the band-limited projection of
+    the 8x8 tile, and the retained frequencies are reproduced exactly at
+    the reduced sampling grid. At k = 8 this IS the standard 2-D IDCT
+    (idct_matrix_zz agrees to float32 rounding; tests/test_scaled.py pins
+    it). Row ordering matches idct_matrix_zz: row z is the response of the
+    z-th ZIGZAG coefficient; columns are raster-order k x k pixels.
+
+    The reference decoder has no scaled decode — this is a capability the
+    reference's users get from libjpeg's scale_num/8 API, provided here as
+    one MXU matmul per component.
+    """
+    if k not in (1, 2, 4, 8):
+        raise ValueError(f"scaled IDCT supports k in {{1, 2, 4, 8}}, got {k}")
+    x = np.arange(k, dtype=np.float64)[:, None]
+    u = np.arange(k, dtype=np.float64)[None, :]
+    b = np.sqrt(2.0 / k) * np.cos((2.0 * x + 1.0) * u * np.pi / (2.0 * k))
+    b[:, 0] *= 1.0 / np.sqrt(2.0)
+    mat = np.zeros((64, k * k), dtype=np.float64)
+    for z in range(64):
+        nat = int(ZIGZAG[z])
+        v_row, u_col = nat // 8, nat % 8
+        if v_row >= k or u_col >= k:
+            continue  # truncated: frequency above the retained band
+        tile = np.outer(b[:, v_row], b[:, u_col])  # [k rows, k cols]
+        mat[z] = (k / 8.0) * tile.reshape(-1)
+    return mat.astype(np.float32)
+
+
+def idct_matmul_scaled(coeffs_zz, qtable_natural, k: int, bits12: bool = False):
+    """Scaled FLOAT32 path: [N, 64] zigzag coeffs -> [N, k*k] uint8 pixels
+    (raster order within each k x k tile). Same dequant fold and output
+    quantization as idct_matmul."""
+    qt = jnp.asarray(qtable_natural, dtype=F32)[ZIGZAG]
+    m = jnp.asarray(idct_matrix_zz_scaled(k)) * qt[:, None]
+    pix = jnp.dot(
+        coeffs_zz.astype(F32), m,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=F32,
+    )
+    return _quantize_output(pix, bits12)
+
+
 def idct_blocks(
     coeffs_zz,
     qtable_natural,
@@ -230,12 +285,13 @@ def idct_blocks(
     return idct_matmul(coeffs_zz, qtable_natural, bits12)
 
 
-def blocks_to_plane(pixels, blocks_y: int, blocks_x: int):
-    """[by*bx, 64] raster-order block pixels -> [by*8, bx*8] plane.
+def blocks_to_plane(pixels, blocks_y: int, blocks_x: int, tile: int = 8):
+    """[by*bx, tile*tile] raster-order block pixels -> [by*tile, bx*tile]
+    plane (tile == 8 for full decode, k for scaled decode).
 
     The array form of write_data_unit's scatter (decode.c:508-533)."""
     return (
-        pixels.reshape(blocks_y, blocks_x, 8, 8)
+        pixels.reshape(blocks_y, blocks_x, tile, tile)
         .transpose(0, 2, 1, 3)
-        .reshape(blocks_y * 8, blocks_x * 8)
+        .reshape(blocks_y * tile, blocks_x * tile)
     )

@@ -94,7 +94,9 @@ def make_shard_fn(key, n_stripes: int):
     are used inside). Reused by decode_striped here and by the combined
     DP x SP step in __graft_entry__.py.
     """
-    frame, qt_by_comp, precision, quirks, upsample = key
+    frame, qt_by_comp, precision, quirks, upsample, scale = key
+    if scale != 8:
+        raise ValueError("striped decode is full-scale only (scale == 8)")
     comps = frame.components
     bits12 = frame.precision == 12
     exact = precision == IdctPrecision.EXACT
@@ -334,9 +336,11 @@ def make_chunk_stage(key, n_chunks: int):
     upsampling DOES need a neighbor halo — decode_streamed falls back to
     the shard_map path for it).
     """
-    frame, qt_by_comp, precision, quirks, upsample = key
+    frame, qt_by_comp, precision, quirks, upsample, scale = key
     if upsample == "fancy":
         raise ValueError("make_chunk_stage is NN-only (fancy needs halos)")
+    if scale != 8:
+        raise ValueError("striped decode is full-scale only (scale == 8)")
     comps = frame.components
     bits12 = frame.precision == 12
     exact = precision == IdctPrecision.EXACT

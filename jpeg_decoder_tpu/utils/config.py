@@ -93,6 +93,14 @@ class DecodeConfig:
     # Upsampling: "nn" is the reference rule; "fancy" is libjpeg-style
     # triangular interpolation (needs a 1-row halo in stripe mode).
     upsample: str = "nn"
+    # Fractional scaled decode (libjpeg's scale_num/8): output dimensions are
+    # ceil(dim * scale / 8), scale in {1, 2, 4, 8}. scale < 8 decodes each
+    # 8x8 block with a truncated k-point IDCT (k = scale) straight from the
+    # coefficient planes — an 8x cheaper thumbnail path that never computes
+    # the full-resolution pixels (ops/idct.idct_matrix_zz_scaled). 8 = full
+    # size (the only scale with a bit-exactness contract vs the reference;
+    # the reference has no scaled decode at all).
+    scale: int = 8
     # Emit per-stage timing metrics.
     collect_metrics: bool = False
 
@@ -101,6 +109,10 @@ class DecodeConfig:
             raise JpegConfigError(f"unknown upsample mode {self.upsample!r}")
         if self.num_threads < 0:
             raise JpegConfigError("num_threads must be >= 0")
+        if self.scale not in (1, 2, 4, 8):
+            raise JpegConfigError(
+                f"scale must be one of 1, 2, 4, 8 (got {self.scale})"
+            )
 
     def replace(self, **kw: Any) -> "DecodeConfig":
         return dataclasses.replace(self, **kw)

@@ -222,3 +222,32 @@ def test_decode_batch_cli(tmp_path):
         got = np.load(out_dir / f"{p.stem}.npy")
         want = decode(p.read_bytes(), cfg).rgb
         np.testing.assert_array_equal(got, want)
+
+
+def test_decode_scale_flag(sample_jpeg, tmp_path):
+    """--scale 1/2 produces the half-size output of the scaled decoder."""
+    from PIL import Image
+
+    from jpeg_decoder_tpu.models.decoder import decode_rgb
+    from jpeg_decoder_tpu.utils.config import (
+        DecodeConfig, EntropyBackend, IdctPrecision)
+
+    out = tmp_path / "half.png"
+    rc = cli.main(["decode", str(sample_jpeg), str(out),
+                   "--backend", "numpy", "--precision", "float32",
+                   "--scale", "1/2"])
+    assert rc == 0
+    png = np.asarray(Image.open(out))
+    want = decode_rgb(
+        sample_jpeg.read_bytes(),
+        DecodeConfig(entropy_backend=EntropyBackend.NUMPY,
+                     idct_precision=IdctPrecision.FLOAT32, scale=4),
+    )
+    assert png.shape == (32, 32, 3)
+    np.testing.assert_array_equal(png, want)
+
+
+def test_decode_scale_rejects_gigapixel_routes(sample_jpeg, tmp_path):
+    rc = cli.main(["decode", str(sample_jpeg), str(tmp_path / "x.png"),
+                   "--scale", "1/4", "--streamed"])
+    assert rc == 2
